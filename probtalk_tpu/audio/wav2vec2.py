@@ -1,0 +1,181 @@
+"""Wav2Vec2-base acoustic encoder in flax, with motion-fps alignment.
+
+Capability of the reference's patched HF Wav2Vec2
+(``nets/spg/wav2vec.py:14-151``): the standard wav2vec2-base architecture
+(7-layer strided conv feature extractor, 12-layer transformer encoder,
+768-d) with the reference's key modification — the feature-extractor output
+is linearly interpolated from its native ~50 fps to the motion fps (30)
+BEFORE the transformer encoder, so acoustic tokens align 1:1 with motion
+frames.
+
+Weights convert from a HuggingFace ``Wav2Vec2Model`` state dict via
+``convert_hf_wav2vec2`` (facebook/wav2vec2-base-960h); with no checkpoint
+available the module still runs (random init) for shape-complete pipelines.
+
+TPU notes: all convs channel-last; GELU fused by XLA; attention in f32
+softmax. Frame count is static per window length => fully jit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# wav2vec2-base feature extractor schedule: (dim, kernel, stride)
+_CONV_LAYERS = [(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2
+_FE_DOWNSAMPLE = 320  # total stride: 16kHz -> 50 fps
+
+
+class FeatureExtractor(nn.Module):
+    """Raw waveform (B, S) -> (B, S/320, 512). Group-norm on the first layer
+    (wav2vec2-base 'group' norm mode)."""
+
+    @nn.compact
+    def __call__(self, x):
+        h = x[..., None]
+        for i, (dim, k, s) in enumerate(_CONV_LAYERS):
+            h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
+                        name=f"conv_{i}")(h)
+            if i == 0:
+                h = nn.GroupNorm(num_groups=dim, name="gn_0")(h)
+            h = nn.gelu(h)
+        return h
+
+
+class TransformerLayer(nn.Module):
+    dim: int = 768
+    heads: int = 12
+    ffn: int = 3072
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        det = not train
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim, dropout_rate=self.dropout,
+            deterministic=det, force_fp32_for_softmax=True, name="attn")(x, x)
+        h = nn.Dropout(self.dropout, deterministic=det)(h)
+        x = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x + h)
+        h = nn.Dense(self.ffn, name="fc1")(x)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, name="fc2")(h)
+        h = nn.Dropout(self.dropout, deterministic=det)(h)
+        return nn.LayerNorm(name="norm2", dtype=jnp.float32)(x + h)
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Waveform -> (B, n_frames, 768) features at the target motion fps."""
+
+    dim: int = 768
+    layers: int = 12
+    heads: int = 12
+    conv_pos_kernel: int = 128
+    conv_pos_groups: int = 16
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, waveform, n_frames: Optional[int] = None,
+                 train: bool = False):
+        """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
+        S/16000*30). None keeps the native 50 fps."""
+        feat = FeatureExtractor(name="feature_extractor")(waveform)
+        feat = nn.LayerNorm(name="feat_norm", dtype=jnp.float32)(feat)
+        feat = nn.Dense(self.dim, name="feat_proj")(feat)
+
+        # 50 fps -> motion fps alignment (the reference's core patch,
+        # nets/spg/wav2vec.py:101: interpolate BEFORE the encoder)
+        if n_frames is not None and n_frames != feat.shape[1]:
+            b, t, c = feat.shape
+            feat = jax.image.resize(feat, (b, n_frames, c), method="linear")
+
+        # grouped conv positional embedding
+        pos = nn.Conv(self.dim, (self.conv_pos_kernel,),
+                      feature_group_count=self.conv_pos_groups,
+                      padding=[(self.conv_pos_kernel // 2,
+                                self.conv_pos_kernel // 2)],
+                      name="pos_conv")(feat)
+        if self.conv_pos_kernel % 2 == 0:
+            pos = pos[:, :-1]
+        h = feat + nn.gelu(pos)
+        h = nn.LayerNorm(name="enc_norm", dtype=jnp.float32)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        for i in range(self.layers):
+            h = TransformerLayer(self.dim, self.heads, name=f"layer_{i}")(h, train)
+        return h
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion
+# ---------------------------------------------------------------------------
+
+def convert_hf_wav2vec2(hf_state_dict: dict) -> dict:
+    """Map a torch ``Wav2Vec2Model`` state dict onto Wav2Vec2Encoder params.
+
+    Accepts tensors or numpy arrays keyed by HF names
+    (feature_extractor.conv_layers.*, encoder.layers.*, ...).
+    """
+
+    def np_(t):
+        return np.asarray(getattr(t, "numpy", lambda: t)())
+
+    p: dict = {}
+
+    def put(path, arr):
+        node = p
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(arr)
+
+    sd = {k: np_(v) for k, v in hf_state_dict.items()}
+    for i in range(len(_CONV_LAYERS)):
+        w = sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
+        put(f"feature_extractor/conv_{i}/kernel", w.transpose(2, 1, 0))
+    put("feature_extractor/gn_0/scale",
+        sd["feature_extractor.conv_layers.0.layer_norm.weight"])
+    put("feature_extractor/gn_0/bias",
+        sd["feature_extractor.conv_layers.0.layer_norm.bias"])
+    put("feat_norm/scale", sd["feature_projection.layer_norm.weight"])
+    put("feat_norm/bias", sd["feature_projection.layer_norm.bias"])
+    put("feat_proj/kernel", sd["feature_projection.projection.weight"].T)
+    put("feat_proj/bias", sd["feature_projection.projection.bias"])
+
+    w = sd["encoder.pos_conv_embed.conv.weight"]  # may be weight-normed
+    if "encoder.pos_conv_embed.conv.weight_g" in sd:
+        g = sd["encoder.pos_conv_embed.conv.weight_g"]
+        v = sd["encoder.pos_conv_embed.conv.weight_v"]
+        w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
+    put("pos_conv/kernel", w.transpose(2, 1, 0))
+    put("pos_conv/bias", sd["encoder.pos_conv_embed.conv.bias"])
+    put("enc_norm/scale", sd["encoder.layer_norm.weight"])
+    put("enc_norm/bias", sd["encoder.layer_norm.bias"])
+
+    n_layers = 0
+    while f"encoder.layers.{n_layers}.final_layer_norm.weight" in sd:
+        n_layers += 1
+    dim = sd["feature_projection.projection.bias"].shape[0]
+    heads = 12
+    head_dim = dim // heads
+    for i in range(n_layers):
+        base = f"encoder.layers.{i}"
+        for hf_n, fx_n in (("q_proj", "query"), ("k_proj", "key"), ("v_proj", "value")):
+            wq = sd[f"{base}.attention.{hf_n}.weight"].T.reshape(dim, heads, head_dim)
+            bq = sd[f"{base}.attention.{hf_n}.bias"].reshape(heads, head_dim)
+            put(f"layer_{i}/attn/{fx_n}/kernel", wq)
+            put(f"layer_{i}/attn/{fx_n}/bias", bq)
+        wo = sd[f"{base}.attention.out_proj.weight"].T.reshape(heads, head_dim, dim)
+        put(f"layer_{i}/attn/out/kernel", wo)
+        put(f"layer_{i}/attn/out/bias", sd[f"{base}.attention.out_proj.bias"])
+        put(f"layer_{i}/norm1/scale", sd[f"{base}.layer_norm.weight"])
+        put(f"layer_{i}/norm1/bias", sd[f"{base}.layer_norm.bias"])
+        put(f"layer_{i}/fc1/kernel", sd[f"{base}.feed_forward.intermediate_dense.weight"].T)
+        put(f"layer_{i}/fc1/bias", sd[f"{base}.feed_forward.intermediate_dense.bias"])
+        put(f"layer_{i}/fc2/kernel", sd[f"{base}.feed_forward.output_dense.weight"].T)
+        put(f"layer_{i}/fc2/bias", sd[f"{base}.feed_forward.output_dense.bias"])
+        put(f"layer_{i}/norm2/scale", sd[f"{base}.final_layer_norm.weight"])
+        put(f"layer_{i}/norm2/bias", sd[f"{base}.final_layer_norm.bias"])
+    return {"params": p}

@@ -1,0 +1,100 @@
+"""Build the preprocessed dataset cache from a SHOW-layout data root.
+
+Capability of the reference's first-run preprocessing inside
+``MultiVidData.__init__`` (``data_utils/dataloader_torch.py:20-294``):
+walk speakers/clips, preprocess each (pose 6d + audio features), cache as
+.npz, compute normalization stats.
+
+Layout expected: <data_root>/<speaker>/<clip>/<clip>.pkl + .wav
+(the demo_audio folder follows it, so this also runs on the demo fixtures).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def find_clips(data_root: str, speakers):
+    for sp in speakers:
+        sp_dir = os.path.join(data_root, sp)
+        if not os.path.isdir(sp_dir):
+            continue
+        for clip in sorted(os.listdir(sp_dir)):
+            base = os.path.join(sp_dir, clip, clip)
+            if os.path.exists(base + ".pkl"):
+                yield sp, clip, base
+
+
+def build_cache(data_root: str, cache_dir: str, speakers, hand_component_path: str,
+                audio_feat: str = "mfcc", audio_feat_dim: int = 64,
+                convert_to_6d: bool = True):
+    from probtalk_tpu.core.body_parts import SPEAKER_ID
+    from probtalk_tpu.data.preprocess import preprocess_clip, compute_norm_stats
+
+    os.makedirs(cache_dir, exist_ok=True)
+    poses_all, expr_all = [], []
+    count = 0
+    for sp, clip, base in find_clips(data_root, speakers):
+        out_path = os.path.join(cache_dir, f"{sp}__{clip}.npz")
+        if os.path.exists(out_path):
+            cached = np.load(out_path)
+            poses_all.append(cached["poses"])
+            expr_all.append(cached["expression"])
+            count += 1
+            continue
+        wav = base + ".wav" if os.path.exists(base + ".wav") else None
+        out = preprocess_clip(base + ".pkl", wav, hand_component_path,
+                              convert_to_6d=convert_to_6d,
+                              audio_feat=audio_feat,
+                              audio_feat_dim=audio_feat_dim)
+        out["speaker"] = np.int32(SPEAKER_ID.get(sp, 0))
+        np.savez(out_path, **out)
+        poses_all.append(out["poses"])
+        expr_all.append(out["expression"])
+        count += 1
+        print(f"cached {sp}/{clip}")
+    if poses_all:
+        mean, std = compute_norm_stats(poses_all, expr_all)
+        np.savez(os.path.join(cache_dir, "norm_stats.npz"), mean=mean, std=std)
+    print(f"{count} clips cached to {cache_dir}")
+
+
+def load_cached_clips(cache_dir: str):
+    """-> (list[ClipData], mean, std) from a built cache."""
+    from probtalk_tpu.data.dataset import ClipData
+
+    clips = []
+    for fn in sorted(os.listdir(cache_dir)):
+        if not fn.endswith(".npz") or fn == "norm_stats.npz":
+            continue
+        z = np.load(os.path.join(cache_dir, fn))
+        clips.append(ClipData(
+            poses=z["poses"], expression=z["expression"],
+            aud_feat=z["aud_feat"] if "aud_feat" in z else
+            np.zeros((z["poses"].shape[0], 64), np.float32),
+            betas=z["betas"], speaker=int(z["speaker"]) if "speaker" in z else 0,
+            name=fn[:-4],
+        ))
+    stats = np.load(os.path.join(cache_dir, "norm_stats.npz"))
+    return clips, stats["mean"], stats["std"]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--cache_dir", required=True)
+    p.add_argument("--speakers", nargs="+",
+                   default=["oliver", "chemistry", "seth", "conan"])
+    p.add_argument("--hand_component", default="/root/reference/data_utils/hand_component.json")
+    p.add_argument("--audio_feat", default="mfcc")
+    args = p.parse_args(argv)
+    build_cache(args.data_root, args.cache_dir, args.speakers,
+                args.hand_component, args.audio_feat)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""CLI flag surface mirroring the reference's ``trainer/options.py:3-37``."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="probtalk_tpu")
+    p.add_argument("--gpu", type=str, default="", help="unused on TPU; kept for CLI parity")
+    p.add_argument("--save_dir", type=str, default="experiments")
+    p.add_argument("--exp_name", type=str, default="probtalk_tpu")
+    p.add_argument("--speakers", type=str, nargs="+",
+                   default=["oliver", "chemistry", "seth", "conan"])
+    p.add_argument("--config_file", type=str, default="configs/transformer.json")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained_pth", type=str, default=None)
+    p.add_argument("--style_layer_norm", action="store_true")
+    p.add_argument("--infer", action="store_true")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="overrides config Data.data_root")
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--body_model_name", type=str, nargs="+", default=None)
+    p.add_argument("--body_model_path", type=str, nargs="+", default=None)
+    p.add_argument("--face_model_name", type=str, default=None)
+    p.add_argument("--face_model_path", type=str, default=None)
+    p.add_argument("--audio_file", type=str, default=None)
+    p.add_argument("--id", type=int, default=0, help="speaker id for demo")
+    p.add_argument("--num_sample", type=int, default=1)
+    p.add_argument("--only_face", action="store_true")
+    p.add_argument("--stand", action="store_true")
+    p.add_argument("--whole_body", action="store_true")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="mesh size; default all visible devices")
+    return p.parse_args(argv)

@@ -1,0 +1,171 @@
+"""All-in-one inference: compose face + predictor + refiner into the full
+audio -> holistic SMPL-X motion pipeline.
+
+Capability of the reference's ``nets/ai1.py`` (All_In_One_Model) plus the
+windowed generation schedules of ``scripts/demo.py:116-178`` (180-frame
+predictor windows / 30 overlap, 176-frame refiner windows) and
+``scripts/test_holisticbody.py:240-261`` (sliding 180-then-150 windows with
+generated-context feedback).
+
+TPU-first: every window size is static, so each stage compiles exactly once
+and the window loop replays compiled executables; the B diversity samples
+ride the batch axis (shardable over the mesh 'data' axis for
+sample-parallel inference).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from probtalk_tpu.core import body_parts
+from probtalk_tpu.train.stages import (
+    PredictorStage, RefinerStage, make_predictor_infer_fn, make_refiner_infer_fn,
+)
+from probtalk_tpu.utils.interp import resize_time
+
+
+@dataclass
+class PipelineTimers:
+    predictor: float = 0.0
+    refiner: float = 0.0
+    face: float = 0.0
+    frames: int = 0
+
+    @property
+    def total(self):
+        return self.predictor + self.refiner + self.face
+
+    @property
+    def fps(self):
+        return self.frames / max(self.total, 1e-9)
+
+
+class HolisticPipeline:
+    """Composes frozen stages for inference.
+
+    Stages are (model/stage, TrainState-or-variables) pairs; the face stage
+    is optional (its jaw/expression output splices over the body stages' —
+    reference ai1.py:61-77).
+    """
+
+    def __init__(self, vq_model, vq_variables, predictor_stage: PredictorStage,
+                 predictor_state, refiner_stage: RefinerStage, refiner_state,
+                 face_model=None, face_state=None,
+                 window: int = 180, overlap: int = 30, refine_window: int = 176):
+        self.vq_model = vq_model
+        self.vq_variables = vq_variables
+        self.predictor_stage = predictor_stage
+        self.predictor_state = predictor_state
+        self.refiner_stage = refiner_stage
+        self.refiner_state = refiner_state
+        self.face_model = face_model
+        self.face_state = face_state
+        self.window = window
+        self.overlap = overlap
+        self.refine_window = refine_window
+        self._predict = make_predictor_infer_fn(
+            predictor_stage, vq_model, vq_variables)
+        self._refine = make_refiner_infer_fn(refiner_stage)
+        self.timers = PipelineTimers()
+
+    # ------------------------------------------------------------------
+    def _block(self, x):
+        jax.block_until_ready(x)
+        return x
+
+    def generate_window(self, key, aud_w, speaker, context=None,
+                        context_mask=None):
+        """One window: audio (B, W, Ca) [+ optional known context] ->
+        (refined (B, W, C), prelim, codes)."""
+        b, w, _ = aud_w.shape
+        c = self.predictor_stage.mot_dim
+        if context is None:
+            context = jnp.zeros((b, w, c), aud_w.dtype)
+            context_mask = jnp.zeros((b, w, 1), aud_w.dtype)
+        t0 = time.perf_counter()
+        prelim, codes = self._block(self._predict(
+            self.predictor_state, key, context, context_mask, speaker, aud_w))
+        t1 = time.perf_counter()
+        refined = self._block(self._refine(
+            self.refiner_state, prelim, aud_w, context_mask, speaker))
+        # known context frames pass through unrefined
+        refined = context * context_mask + refined * (1.0 - context_mask)
+        t2 = time.perf_counter()
+        self.timers.predictor += t1 - t0
+        self.timers.refiner += t2 - t1
+        self.timers.frames += b * w
+        return refined, prelim, codes
+
+    # ------------------------------------------------------------------
+    def generate(self, key, aud_feat, speaker, B: int = 1,
+                 gt_context=None) -> jnp.ndarray:
+        """Full-length generation with sliding-window context feedback.
+
+        aud_feat: (T, Ca) motion-fps audio features; returns (B, T, C)
+        normalized fbhe motion. Schedule: first window `window` frames, then
+        steps of `window - overlap` feeding the trailing `overlap` generated
+        frames back as known context (test_holisticbody.py:240-261 uses
+        overlap=30 via mask promotion; demo.py uses the same 180/30 grid).
+        """
+        t_total = aud_feat.shape[0]
+        w, ov = self.window, self.overlap
+        step = w - ov
+        aud = jnp.asarray(aud_feat)[None].repeat(B, 0)
+        c = self.predictor_stage.mot_dim
+
+        if t_total <= w:
+            aud_w = _pad_time(aud, w)
+            out, _, _ = self.generate_window(key, aud_w, speaker)
+            return out[:, :t_total]
+
+        outputs = jnp.zeros((B, t_total, c), jnp.float32)
+        pos = 0
+        first = True
+        while pos < t_total:
+            key, k = jax.random.split(key)
+            end = min(pos + w, t_total)
+            aud_w = _pad_time(aud[:, pos:end], w)
+            if first:
+                ctx = None
+                mask = None
+            else:
+                ctx = jnp.zeros((B, w, c), jnp.float32)
+                ctx = ctx.at[:, :ov].set(outputs[:, pos: pos + ov])
+                mask = jnp.zeros((B, w, 1), jnp.float32).at[:, :ov].set(1.0)
+            refined, _, _ = self.generate_window(k, aud_w, speaker, ctx, mask)
+            outputs = outputs.at[:, pos:end].set(refined[:, : end - pos])
+            if first:
+                pos += step
+                first = False
+            else:
+                pos += step
+        return outputs
+
+
+def _pad_time(x, t_out: int):
+    t = x.shape[1]
+    if t == t_out:
+        return x
+    if t > t_out:
+        return x[:, :t_out]
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, t_out - t)
+    return jnp.pad(x, pad, mode="edge")
+
+
+def splice_face(body_out, face_out, convert_to_6d: bool = True):
+    """Overwrite jaw + expression channels of the body pipeline's fbhe
+    output with the face generator's (reference ai1.py:61-77)."""
+    jaw_d = body_parts.each_dim(convert_to_6d)[0]
+    exp_d = body_parts.each_dim(convert_to_6d)[3]
+    return jnp.concatenate(
+        [face_out[..., :jaw_d], body_out[..., jaw_d:-exp_d],
+         face_out[..., jaw_d:]],
+        axis=-1,
+    )

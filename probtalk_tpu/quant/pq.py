@@ -1,0 +1,186 @@
+"""Product Quantization with EMA codebook learning — functional, mesh-aware.
+
+Capability of the reference's ``ProductQuantization``
+(``nets/spg/vqvae_modules.py:437-590``): G independent codebooks over
+D-dim chunks of the latent, L2-argmin assignment, EMA codebook updates with
+Laplace smoothing and dead-code restart, straight-through estimator, and
+``random_token`` code-noise augmentation.
+
+TPU-first redesign:
+  * state is an explicit pytree (``PQState``) — no mutable buffers; training
+    returns a new state. Plays directly with jit/shard_map/orbax.
+  * the assignment+gather runs as one fused Pallas kernel
+    (``probtalk_tpu.ops.pq_lookup``).
+  * cross-device codebook statistics are reduced with ``psum`` over the data
+    mesh axis (``axis_name``) — the live equivalent of the dormant
+    ``dist.all_reduce`` in the reference's vendored RQ code
+    (``nets/spg/residual_quantization.py:89-103``).
+
+Deviations (documented, intentional):
+  * ``random_token`` masks positions by uniform threshold (expected count
+    r*N) instead of exact-topk floor(r*N) — jit-friendly, same distribution
+    in expectation.
+  * dead-code restart candidates are pmean-averaged across devices to keep
+    the replicated state bit-identical on every device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from probtalk_tpu.ops.pq_lookup import pq_nearest_codes
+
+
+class PQState(NamedTuple):
+    """Replicated quantizer state.
+
+    codebooks:   (G, K, D) current embeddings
+    ema_counts:  (G, K)    EMA *hidden* accumulator of cluster sizes
+    ema_dw:      (G, K, D) EMA *hidden* accumulator of cluster sums
+    counter:     ()        update count (for EMA bias correction)
+    """
+
+    codebooks: jnp.ndarray
+    ema_counts: jnp.ndarray
+    ema_dw: jnp.ndarray
+    counter: jnp.ndarray
+
+
+def pq_init(key, groups: int, num_codes: int, dim: int, embedding_dim: int | None = None) -> PQState:
+    """Xavier-uniform codebooks; zeroed EMA accumulators.
+
+    ``dim`` is the per-group chunk size (embedding_dim // groups).
+    """
+    if embedding_dim is not None:
+        dim = embedding_dim // groups
+    keys = jax.random.split(key, groups)
+    limit = jnp.sqrt(6.0 / (num_codes + dim))
+    codebooks = jnp.stack(
+        [jax.random.uniform(k, (num_codes, dim), minval=-limit, maxval=limit) for k in keys]
+    )
+    return PQState(
+        codebooks=codebooks.astype(jnp.float32),
+        ema_counts=jnp.zeros((groups, num_codes), jnp.float32),
+        ema_dw=jnp.zeros((groups, num_codes, dim), jnp.float32),
+        counter=jnp.zeros((), jnp.int32),
+    )
+
+
+def _random_token(key, idx, num_codes: int, ratio):
+    """Replace ~ratio of code indices with uniform random codes
+    (code-noise augmentation, vqvae_modules.py:582-590)."""
+    k1, k2 = jax.random.split(key)
+    mask = jax.random.uniform(k1, idx.shape) < ratio
+    rand = jax.random.randint(k2, idx.shape, 0, num_codes, dtype=idx.dtype)
+    return jnp.where(mask, rand, idx)
+
+
+def _gather(codebooks, idx):
+    """codebooks (G,K,D), idx (..., G) -> (..., G, D)."""
+    return jnp.einsum(
+        "...gk,gkd->...gd",
+        jax.nn.one_hot(idx, codebooks.shape[1], dtype=codebooks.dtype),
+        codebooks,
+    )
+
+
+def pq_lookup_codes(state: PQState, idx) -> jnp.ndarray:
+    """Decode code indices to embeddings: (..., G) -> (..., G*D).
+
+    Equivalent of ``quantize_all`` (vqvae_modules.py:557-564); used to decode
+    predictor outputs.
+    """
+    q = _gather(state.codebooks, idx)
+    return q.reshape(q.shape[:-2] + (-1,))
+
+
+def pq_forward_eval(state: PQState, x, use_pallas: Optional[bool] = None):
+    """Eval-mode quantization.
+
+    x: (B, T, E) with E = G*D. Returns (quantized (B,T,E), indices (B,T,G)).
+    """
+    b, t, e = x.shape
+    g, k, d = state.codebooks.shape
+    flat = x.reshape(b * t, g, d)
+    idx, quant = pq_nearest_codes(flat, state.codebooks, use_pallas=use_pallas)
+    return quant.reshape(b, t, e).astype(x.dtype), idx.reshape(b, t, g)
+
+
+def pq_forward_train(
+    state: PQState,
+    x,
+    key,
+    *,
+    noise_ratio=0.0,
+    commitment_cost: float = 0.25,
+    decay: float = 0.99,
+    epsilon: float = 1e-5,
+    axis_name: Optional[str] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Train-mode quantization with EMA codebook update.
+
+    Returns (quantized_ste (B,T,E), new_state, commit_loss, indices (B,T,G)).
+
+    With ``axis_name`` set (inside shard_map/pjit over a data mesh axis),
+    cluster statistics are psum-reduced so every device applies the same
+    codebook update.
+    """
+    b, t, e = x.shape
+    g, k, d = state.codebooks.shape
+    xf = x.astype(jnp.float32)
+    flat = jax.lax.stop_gradient(xf).reshape(b * t, g, d)
+    n = flat.shape[0]
+
+    k_noise, k_restart = jax.random.split(key)
+    idx, _ = pq_nearest_codes(flat, state.codebooks, use_pallas=use_pallas)
+    idx = _random_token(k_noise, idx, k, noise_ratio)
+    quant = _gather(state.codebooks, idx)  # (N, G, D) — post-noise, as in the ref
+
+    # ---- EMA statistics (the live analogue of the dormant all_reduce) ----
+    onehot = jax.nn.one_hot(idx, k, dtype=jnp.float32, axis=-1)      # (N, G, K)
+    counts = jnp.sum(onehot, axis=0).reshape(g, k)                    # (G, K)
+    dw = jnp.einsum("ngk,ngd->gkd", onehot, flat)                     # (G, K, D)
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+        dw = jax.lax.psum(dw, axis_name)
+
+    counter = state.counter + 1
+    bias = 1.0 - decay ** counter.astype(jnp.float32)
+    ema_counts_h = state.ema_counts - (state.ema_counts - counts) * (1.0 - decay)
+    ema_dw_h = state.ema_dw - (state.ema_dw - dw) * (1.0 - decay)
+    avg_counts = ema_counts_h / bias
+    avg_dw = ema_dw_h / bias
+
+    # Laplace smoothing of cluster sizes (vqvae_modules.py:517-519)
+    ntot = jnp.sum(avg_counts, axis=-1, keepdims=True)
+    smoothed = (avg_counts + epsilon) / (ntot + k * epsilon) * ntot
+    new_codebooks = avg_dw / smoothed[..., None]
+
+    # ---- dead-code restart (vqvae_modules.py:525-534) ----
+    reps = -(-k // max(n, 1))
+    cand = jnp.tile(flat, (reps, 1, 1))[:k]                           # (K, G, D)
+    cand = cand + jax.random.normal(k_restart, cand.shape) * (0.01 / jnp.sqrt(d))
+    cand = jnp.moveaxis(cand, 1, 0)                                   # (G, K, D)
+    if axis_name is not None:
+        cand = jax.lax.pmean(cand, axis_name)
+    usage = (smoothed >= 1.0).astype(jnp.float32)[..., None]          # (G, K, 1)
+    new_codebooks = usage * new_codebooks + (1.0 - usage) * cand
+    ema_dw_h = usage * ema_dw_h + (1.0 - usage) * cand
+    ema_counts_h = usage[..., 0] * ema_counts_h + (1.0 - usage[..., 0])
+
+    new_state = PQState(
+        codebooks=new_codebooks,
+        ema_counts=ema_counts_h,
+        ema_dw=ema_dw_h,
+        counter=counter,
+    )
+
+    # ---- commitment loss + straight-through estimator ----
+    quant_btE = quant.reshape(b, t, e)
+    commit = commitment_cost * jnp.mean((xf - jax.lax.stop_gradient(quant_btE)) ** 2)
+    ste = xf + jax.lax.stop_gradient(quant_btE - xf)
+    return ste.astype(x.dtype), new_state, commit, idx.reshape(b, t, g)

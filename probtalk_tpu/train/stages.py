@@ -1,0 +1,248 @@
+"""Stage pipelines: predictor and refiner training around a frozen PQ-VAE.
+
+Capabilities of the reference train wrappers
+(``nets/inpainting/predictor.py:168-280``, ``refiner.py:183-311``) as pure
+jitted steps. The frozen VQ's variables are closed over as constants
+(stop-gradient); the reference's ``with torch.no_grad(): VQ.encode(...)``
+becomes an eval-mode apply.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from probtalk_tpu.models.conv import ConditionEncoder
+from probtalk_tpu.models.predictor import PredictorNet
+from probtalk_tpu.models.rtransformer import RTransformer
+from probtalk_tpu.train import losses
+from probtalk_tpu.train.state import TrainState
+from probtalk_tpu.train.steps import optax_global_norm
+from probtalk_tpu.utils.interp import resize_time
+
+
+# ---------------------------------------------------------------------------
+# context masks
+# ---------------------------------------------------------------------------
+
+def sample_context_mask(key, bs: int, t: int, context_len: int = 30,
+                        context_prob: float = 0.5):
+    """(bs, t, 1) masks: a random contiguous ``context_len`` window of known
+    motion per sample, active with probability ``context_prob``.
+
+    The reference precomputes a bank of onset-shifted windows and zeroes the
+    first 64 of 128 batch rows (predictor.py:94-96, 213-227) — i.e. half the
+    batch trains unconditioned; here the active half is bernoulli-sampled so
+    the step is batch-order independent.
+    """
+    k1, k2 = jax.random.split(key)
+    start = jax.random.randint(k1, (bs, 1), 0, max(t - context_len + 1, 1))
+    pos = jnp.arange(t)[None, :]
+    win = (pos >= start) & (pos < start + context_len)
+    active = jax.random.bernoulli(k2, context_prob, (bs, 1))
+    return (win & active).astype(jnp.float32)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# predictor stage
+# ---------------------------------------------------------------------------
+
+class PredictorStage(nn.Module):
+    """Trainable bundle: AudEnc + TextEnc + PredictorNet
+    (the reference wrapper's trainable members, predictor.py:67-76)."""
+
+    mot_dim: int = 376
+    num_code: int = 128
+    groups: int = 4
+    n_classes: int = 4
+    dec_layers: int = 6
+    use_audio: bool = True
+    use_text: bool = False
+    maskgit: bool = True
+    maskgit_T: int = 8
+    motion_context: bool = True
+    identity: bool = True
+    aud_dim: int = 768
+    text_dim: int = 768
+
+    def setup(self):
+        if self.use_audio:
+            self.aud_enc = ConditionEncoder(256)
+        if self.use_text:
+            self.text_enc = ConditionEncoder(256)
+        self.net = PredictorNet(
+            mot_dim=self.mot_dim, num_code=self.num_code, groups=self.groups,
+            n_classes=self.n_classes, dec_layers=self.dec_layers,
+            identity=self.identity, maskgit=self.maskgit,
+            maskgit_T=self.maskgit_T, motion_context=self.motion_context,
+            use_audio=self.use_audio, use_text=self.use_text,
+        )
+
+    def _encode_conditions(self, aud, text, train):
+        audio = self.aud_enc(aud, train) if self.use_audio else None
+        txt = self.text_enc(text, train) if self.use_text else None
+        return audio, txt
+
+    def __call__(self, masked_motion, codes, mask, label, aud, text=None,
+                 epoch_ratio=1.0, train: bool = False):
+        """-> logits (B, T/8, G, K)."""
+        audio, txt = self._encode_conditions(aud, text, train)
+        return self.net(masked_motion, codes, mask, label, audio, txt,
+                        epoch_ratio, train=train)
+
+    def sample(self, key, masked_motion, mask, label, aud, text=None):
+        """-> code indices (B, T/8, G)."""
+        audio, txt = self._encode_conditions(aud, text, False)
+        return self.net.sample(key, masked_motion, mask, label, audio, txt)
+
+
+def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
+                              donate: bool = True):
+    """Jitted predictor train step.
+
+    batch: {'poses_fbhe': (B,T,C), 'aud_feat': (B,T,Ca), 'speaker': (B,),
+            'epoch_ratio': scalar, optionally 'text_feat'}
+    """
+    vq_variables = jax.tree_util.tree_map(jax.lax.stop_gradient, vq_variables)
+
+    def loss_fn(params, mutables, batch, rng):
+        gt = batch["poses_fbhe"]
+        bs, t, _ = gt.shape
+        k_mask, k_net, k_drop = jax.random.split(rng, 3)
+
+        if stage.motion_context:
+            mask = sample_context_mask(k_mask, bs, t)
+        else:
+            mask = jnp.zeros((bs, t, 1), gt.dtype)
+        masked_motion = gt * mask
+
+        # frozen VQ: GT codes as prediction targets (predictor.py:232-240)
+        _, _, codes = vq_model.apply(vq_variables, gt, train=False,
+                                     method=vq_model.encode)
+        codes = jax.lax.stop_gradient(codes)
+
+        variables = {"params": params, **mutables}
+        logits, new_mut = stage.apply(
+            variables, masked_motion, codes, mask, batch["speaker"],
+            batch["aud_feat"], batch.get("text_feat"),
+            batch.get("epoch_ratio", 1.0), train=True,
+            mutable=["batch_stats"],
+            rngs={"mask": k_net, "dropout": k_drop},
+        )
+        ce = losses.cross_entropy(logits.reshape(-1, logits.shape[-1]),
+                                  codes.reshape(-1))
+        acc = jnp.mean(jnp.argmax(logits, -1) == codes)
+        return ce, (new_mut, {"loss": ce, "code_acc": acc})
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, batch, rng):
+        (_, (new_mut, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.mutables, batch, rng
+        )
+        new_state = state.apply_gradients(grads, new_mutables=new_mut)
+        ld["grad_norm"] = optax_global_norm(grads)
+        return new_state, ld
+
+    return step
+
+
+def make_predictor_infer_fn(stage: PredictorStage, vq_model, vq_variables):
+    """Jitted inference: audio (+context) -> codes -> decoded preliminary
+    motion, interpolated to T and blended with known context
+    (reference infer_on_batch, predictor.py:398-448)."""
+
+    @jax.jit
+    def infer(state: TrainState, key, gt_poses, mask, speaker, aud, text=None):
+        variables = {"params": state.params, **state.mutables}
+        masked_motion = gt_poses * mask
+        codes = stage.apply(variables, key, masked_motion, mask, speaker, aud,
+                            text, method=stage.sample)
+        prelim = vq_model.apply(vq_variables, codes, train=False,
+                                method=vq_model.decode_codes)
+        prelim = resize_time(prelim, gt_poses.shape[1])
+        blended = masked_motion * mask + prelim * (1.0 - mask)
+        return blended, codes
+
+    return infer
+
+
+# ---------------------------------------------------------------------------
+# refiner stage
+# ---------------------------------------------------------------------------
+
+class RefinerStage(nn.Module):
+    """Trainable bundle: RTransformer (audio enc is identity for wav2vec
+    features — reference refiner AudEnc, refiner.py:66-79)."""
+
+    in_dim: int = 376
+    aud_dim: int = 768
+    n_classes: int = 4
+    layers: int = 6
+    motion_context: bool = True
+
+    def setup(self):
+        self.net = RTransformer(
+            in_dim=self.in_dim, condi_dim=self.aud_dim, layers=self.layers,
+            n_classes=self.n_classes, motion_context=self.motion_context,
+        )
+
+    def __call__(self, x, aud, mask, label, train: bool = False):
+        return self.net(x, aud, mask, label, train=train)
+
+
+def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
+                            noise_std: float = 0.05, donate: bool = True,
+                            each_dim=None):
+    """Jitted refiner train step (reference refiner.py:183-311):
+    VQ-reconstruct GT, add gaussian noise, blend with GT context, regress."""
+    vq_variables = jax.tree_util.tree_map(jax.lax.stop_gradient, vq_variables)
+
+    def loss_fn(params, mutables, batch, rng):
+        gt = batch["poses_fbhe"]
+        bs, t, _ = gt.shape
+        k_mask, k_noise, k_drop = jax.random.split(rng, 3)
+
+        mask = sample_context_mask(k_mask, bs, t)
+
+        vq_poses, _, _ = vq_model.apply(vq_variables, gt, train=False)
+        vq_poses = resize_time(vq_poses, t)
+        vq_poses = jax.lax.stop_gradient(vq_poses)
+        vq_poses = vq_poses + noise_std * jax.random.normal(k_noise, vq_poses.shape)
+
+        inp = gt * mask + vq_poses * (1.0 - mask)
+
+        variables = {"params": params, **mutables}
+        pred, new_mut = stage.apply(
+            variables, inp, batch["aud_feat"], mask, batch["speaker"],
+            train=True, mutable=["batch_stats"], rngs={"dropout": k_drop},
+        )
+        total, ld = losses.refiner_loss(pred, gt, mask, each_dim=each_dim)
+        ld["loss"] = total
+        return total, (new_mut, ld)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, batch, rng):
+        (_, (new_mut, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.mutables, batch, rng
+        )
+        new_state = state.apply_gradients(grads, new_mutables=new_mut)
+        ld["grad_norm"] = optax_global_norm(grads)
+        return new_state, ld
+
+    return step
+
+
+def make_refiner_infer_fn(stage: RefinerStage):
+    """Jitted refinement of a preliminary motion
+    (reference infer_on_batch, refiner.py:512-558)."""
+
+    @jax.jit
+    def infer(state: TrainState, prelim, aud, mask, speaker):
+        variables = {"params": state.params, **state.mutables}
+        return stage.apply(variables, prelim, aud, mask, speaker, train=False)
+
+    return infer

@@ -1,0 +1,42 @@
+import json
+
+from probtalk_tpu.config import Config, load_config, dict_merge
+
+
+def test_attribute_and_mapping_access(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"Model": {"code_num": 128, "groups": 4}, "lr": 1e-4}))
+    cfg = load_config(str(p))
+    assert cfg.Model.code_num == 128
+    assert cfg["Model"]["groups"] == 4
+    assert cfg.lr == 1e-4
+    assert cfg.get("missing", "d") == "d"
+
+
+def test_base_inheritance(tmp_path):
+    (tmp_path / "base.json").write_text(
+        json.dumps({"Model": {"code_num": 128, "groups": 4}, "Train": {"epochs": 100}})
+    )
+    (tmp_path / "child.json").write_text(
+        json.dumps({"_BASE_": "base.json", "Model": {"groups": 8}})
+    )
+    cfg = load_config(str(tmp_path / "child.json"))
+    assert cfg.Model.code_num == 128   # inherited
+    assert cfg.Model.groups == 8       # overridden
+    assert cfg.Train.epochs == 100
+
+
+def test_immutable_and_replace():
+    cfg = Config({"a": 1, "b": {"c": 2}})
+    try:
+        cfg.a = 5
+        assert False, "should be immutable"
+    except AttributeError:
+        pass
+    cfg2 = cfg.replace(b={"c": 3})
+    assert cfg2.b.c == 3 and cfg.b.c == 2
+
+
+def test_dict_merge_nested():
+    out = dict_merge({"a": {"x": 1, "y": 2}}, {"a": {"y": 3}, "b": 4})
+    assert out == {"a": {"x": 1, "y": 3}, "b": 4}

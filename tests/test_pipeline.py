@@ -1,0 +1,95 @@
+"""End-to-end pipeline tests: sliding-window generation + eval harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probtalk_tpu.models.vqvae import VQVAE
+from probtalk_tpu.pipeline import HolisticPipeline, splice_face
+from probtalk_tpu.train.stages import PredictorStage, RefinerStage
+from probtalk_tpu.train.state import create_train_state, adamw
+
+CM, CA = 40, 24
+W = 16     # tiny window
+VQ_TINY = dict(in_dim=CM, embedding_dim=32, num_codes=8, groups=4, hiddens=32,
+               res_layers=1)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    vq = VQVAE(**VQ_TINY)
+    x = jnp.zeros((1, W, CM), jnp.float32)
+    vq_vars = vq.init({"params": jax.random.key(0), "quant": jax.random.key(1)},
+                      x, train=True)
+    pred = PredictorStage(mot_dim=CM, num_code=8, groups=4, dec_layers=1,
+                          aud_dim=CA)
+    mask = jnp.zeros((1, W, 1), jnp.float32)
+    codes0 = jnp.zeros((1, W // 8, 4), jnp.int32)
+    spk = jnp.zeros((1,), jnp.int32)
+    aud = jnp.zeros((1, W, CA), jnp.float32)
+    pred_state = create_train_state(pred, (x, codes0, mask, spk, aud),
+                                    jax.random.key(2), adamw(1e-4),
+                                    init_kwargs={"train": True})
+    ref = RefinerStage(in_dim=CM, aud_dim=CA, layers=1)
+    ref_state = create_train_state(ref, (x, aud, mask, spk), jax.random.key(3),
+                                   adamw(1e-4), init_kwargs={"train": True})
+    return HolisticPipeline(vq, vq_vars, pred, pred_state, ref, ref_state,
+                            window=W, overlap=4, refine_window=W)
+
+
+class TestPipeline:
+    def test_short_clip(self, pipeline, rng):
+        aud = jnp.asarray(rng.normal(size=(10, CA)).astype(np.float32))
+        out = pipeline.generate(jax.random.key(0), aud,
+                                jnp.zeros((2,), jnp.int32), B=2)
+        assert out.shape == (2, 10, CM)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_long_clip_sliding_windows(self, pipeline, rng):
+        t = 40  # forces 3 windows with context feedback
+        aud = jnp.asarray(rng.normal(size=(t, CA)).astype(np.float32))
+        out = pipeline.generate(jax.random.key(1), aud,
+                                jnp.zeros((1,), jnp.int32), B=1)
+        assert out.shape == (1, t, CM)
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert pipeline.timers.frames > 0 and pipeline.timers.fps > 0
+
+    def test_diversity_across_samples(self, pipeline, rng):
+        aud = jnp.asarray(rng.normal(size=(W, CA)).astype(np.float32))
+        out = pipeline.generate(jax.random.key(2), aud,
+                                jnp.zeros((4,), jnp.int32), B=4)
+        flat = np.asarray(out).reshape(4, -1)
+        assert not np.allclose(flat[0], flat[1])  # MaskGit sampling diversifies
+
+
+class TestSpliceFace:
+    def test_overwrites_jaw_and_expression(self, rng):
+        body = jnp.asarray(rng.normal(size=(2, 8, 376)).astype(np.float32))
+        face = jnp.asarray(rng.normal(size=(2, 8, 106)).astype(np.float32))
+        out = np.asarray(splice_face(body, face))
+        assert out.shape == (2, 8, 376)
+        np.testing.assert_array_equal(out[..., :6], np.asarray(face)[..., :6])
+        np.testing.assert_array_equal(out[..., -100:], np.asarray(face)[..., 6:])
+        np.testing.assert_array_equal(out[..., 6:276], np.asarray(body)[..., 6:276])
+
+
+class TestHarness:
+    def test_run_harness_plumbing(self, pipeline, rng):
+        from probtalk_tpu.cli.test_holistic import run_harness, unfold_windows
+        from probtalk_tpu.data.dataset import ClipData
+
+        w = unfold_windows(np.zeros((200, 5), np.float32), 90, 90)
+        assert w.shape == (2, 90, 5)
+
+        clip = ClipData(
+            poses=rng.normal(size=(40, 330)).astype(np.float32),
+            expression=rng.normal(size=(40, 100)).astype(np.float32),
+            aud_feat=rng.normal(size=(40, CA)).astype(np.float32),
+            betas=np.zeros(300, np.float32), speaker=0,
+        )
+        res = run_harness(pipeline, [clip], np.zeros(430, np.float32),
+                          np.ones(430, np.float32), evaluator=None, B=2)
+        assert res["clips"] == 1
+        assert res["fps"] > 0
+        assert np.isfinite(res["diversity"])

@@ -1,0 +1,115 @@
+"""Predictor / refiner stage train-step tests around a tiny frozen VQ."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probtalk_tpu.models.vqvae import VQVAE
+from probtalk_tpu.train.stages import (
+    PredictorStage,
+    RefinerStage,
+    make_predictor_train_step,
+    make_predictor_infer_fn,
+    make_refiner_train_step,
+    make_refiner_infer_fn,
+    sample_context_mask,
+)
+from probtalk_tpu.train.state import create_train_state, adamw
+
+CM = 40    # motion dim (tiny)
+CA = 24    # audio dim
+T = 16
+B = 2
+
+VQ_TINY = dict(in_dim=CM, embedding_dim=32, num_codes=8, groups=4, hiddens=32,
+               res_layers=1)
+
+
+@pytest.fixture(scope="module")
+def frozen_vq():
+    model = VQVAE(**VQ_TINY)
+    x = jnp.zeros((1, T, CM), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "quant": jax.random.key(1)}, x, train=True
+    )
+    return model, variables
+
+
+class TestContextMask:
+    def test_window_properties(self):
+        m = sample_context_mask(jax.random.key(0), 64, 40, context_len=10)
+        m = np.asarray(m)[..., 0]
+        assert m.shape == (64, 40)
+        row_sums = m.sum(-1)
+        assert set(np.unique(row_sums)) <= {0.0, 10.0}
+        # windows are contiguous
+        for row in m[row_sums == 10]:
+            on = np.nonzero(row)[0]
+            assert on[-1] - on[0] == 9
+
+
+class TestPredictorStage:
+    def test_train_step_learns(self, frozen_vq, rng):
+        vq_model, vq_vars = frozen_vq
+        stage = PredictorStage(mot_dim=CM, num_code=8, groups=4, dec_layers=1,
+                               aud_dim=CA)
+        gt = jnp.asarray(rng.normal(size=(B, T, CM)).astype(np.float32))
+        aud = jnp.asarray(rng.normal(size=(B, T, CA)).astype(np.float32))
+        spk = jnp.zeros((B,), jnp.int32)
+        mask = jnp.zeros((B, T, 1), jnp.float32)
+        codes0 = jnp.zeros((B, T // 8, 4), jnp.int32)
+        state = create_train_state(
+            stage, (gt * mask, codes0, mask, spk, aud),
+            jax.random.key(2), adamw(3e-3),
+            init_kwargs={"train": True},
+        )
+        step = make_predictor_train_step(stage, vq_model, vq_vars, donate=False)
+        batch = {"poses_fbhe": gt, "aud_feat": aud, "speaker": spk,
+                 "epoch_ratio": 0.5}
+        key = jax.random.key(0)
+        first = last = None
+        for i in range(15):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, batch, k)
+            if i == 0:
+                first = float(metrics["loss"])
+            last = float(metrics["loss"])
+        assert np.isfinite(last)
+        assert last < first  # memorizing 2 samples must reduce CE
+
+        infer = make_predictor_infer_fn(stage, vq_model, vq_vars)
+        blended, codes = infer(state, jax.random.key(9), gt, mask, spk, aud)
+        assert blended.shape == gt.shape
+        assert codes.shape == (B, T // 8, 4)
+        assert int(codes.max()) < 8
+
+
+class TestRefinerStage:
+    def test_train_step_learns(self, frozen_vq, rng):
+        vq_model, vq_vars = frozen_vq
+        stage = RefinerStage(in_dim=CM, aud_dim=CA, layers=1)
+        gt = jnp.asarray(rng.normal(size=(B, T, CM)).astype(np.float32))
+        aud = jnp.asarray(rng.normal(size=(B, T, CA)).astype(np.float32))
+        spk = jnp.zeros((B,), jnp.int32)
+        mask = jnp.zeros((B, T, 1), jnp.float32)
+        state = create_train_state(
+            stage, (gt, aud, mask, spk), jax.random.key(3), adamw(3e-3),
+            init_kwargs={"train": True},
+        )
+        step = make_refiner_train_step(stage, vq_model, vq_vars, donate=False,
+                                       each_dim=[4, 12, 16, 8])  # tiny 40ch split
+        batch = {"poses_fbhe": gt, "aud_feat": aud, "speaker": spk}
+        key = jax.random.key(1)
+        hist = []
+        for i in range(24):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, batch, k)
+            hist.append(float(metrics["loss"]))
+        assert np.all(np.isfinite(hist))
+        # per-step masks are random -> compare window means, not endpoints
+        assert np.mean(hist[-6:]) < np.mean(hist[2:8]), hist
+
+        infer = make_refiner_infer_fn(stage)
+        out = infer(state, gt, aud, mask, spk)
+        assert out.shape == gt.shape

@@ -1,0 +1,99 @@
+"""PTransformer / predictor / refiner tests on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probtalk_tpu.models.ptransformer import PTransformer, sinusoidal_table
+from probtalk_tpu.models.predictor import MotionContextEncoder
+from probtalk_tpu.models.rtransformer import RTransformer
+
+B, T, G, K, C = 2, 8, 4, 16, 32   # T = code timesteps; C = condition dim
+DIMS = dict(groups=G, condi_dim=C, dim=32, layers=2, num_code=K, n_classes=4,
+            heads=4)
+
+
+@pytest.fixture(scope="module")
+def pt_and_vars():
+    model = PTransformer(**DIMS)
+    codes = jnp.zeros((B, T, G), jnp.int32)
+    cond = jnp.zeros((B, T, C), jnp.float32)
+    label = jnp.zeros((B,), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        codes, label, cond, train=True,
+    )
+    return model, variables
+
+
+class TestSinusoidalPE:
+    def test_table_properties(self):
+        t = sinusoidal_table(100, 64)
+        assert t.shape == (101, 64)
+        np.testing.assert_array_equal(t[0], 0)  # PAD row
+        # row 1 = position 0: sin(0)=0, cos(0)=1
+        np.testing.assert_allclose(t[1, 0::2], 0, atol=1e-6)
+        np.testing.assert_allclose(t[1, 1::2], 1, atol=1e-6)
+
+
+class TestPTransformer:
+    def test_train_logits_shape(self, pt_and_vars, rng):
+        model, variables = pt_and_vars
+        codes = jnp.asarray(rng.integers(0, K, (B, T, G)).astype(np.int32))
+        cond = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+        label = jnp.asarray(rng.integers(0, 4, (B,)).astype(np.int32))
+        logits = model.apply(variables, codes, label, cond, 0.9, train=True,
+                             rngs={"mask": jax.random.key(2),
+                                   "dropout": jax.random.key(3)})
+        assert logits.shape == (B, T, G, K)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_maskgit_sample_valid_codes(self, pt_and_vars, rng):
+        model, variables = pt_and_vars
+        cond = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+        label = jnp.zeros((B,), jnp.int32)
+        ids = model.apply(variables, jax.random.key(5), label, cond, 4,
+                          method=model.sample)
+        ids = np.asarray(ids)
+        assert ids.shape == (B, T, G)
+        assert ids.min() >= 0 and ids.max() < K  # no mask ids survive
+
+    def test_sample_jits(self, pt_and_vars, rng):
+        model, variables = pt_and_vars
+        cond = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+        label = jnp.zeros((B,), jnp.int32)
+        f = jax.jit(lambda v, k, c: model.apply(v, k, label, c, 4, method=model.sample))
+        ids1 = f(variables, jax.random.key(1), cond)
+        ids2 = f(variables, jax.random.key(1), cond)
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+
+    def test_sample_max(self, pt_and_vars, rng):
+        model, variables = pt_and_vars
+        cond = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+        ids = model.apply(variables, jnp.zeros((B,), jnp.int32), cond,
+                          method=model.sample_max)
+        assert np.asarray(ids).shape == (B, T, G)
+
+
+class TestMotionContextEncoder:
+    def test_downsamples_8x(self, rng):
+        enc = MotionContextEncoder(dim=32, layers=10)
+        x = jnp.asarray(rng.normal(size=(2, 32, 20)).astype(np.float32))
+        mask = jnp.ones((2, 32, 1), jnp.float32)
+        variables = enc.init(jax.random.key(0), x, mask)
+        out = enc.apply(variables, x, mask)
+        assert out.shape == (2, 4, 32)  # T/8, dim
+
+
+class TestRTransformer:
+    def test_forward_shape(self, rng):
+        model = RTransformer(in_dim=40, condi_dim=24, dim=32, layers=2, heads=4)
+        x = jnp.asarray(rng.normal(size=(2, 16, 40)).astype(np.float32))
+        aud = jnp.asarray(rng.normal(size=(2, 16, 24)).astype(np.float32))
+        mask = jnp.zeros((2, 16, 1), jnp.float32)
+        label = jnp.zeros((2,), jnp.int32)
+        variables = model.init(jax.random.key(0), x, aud, mask, label)
+        out = model.apply(variables, x, aud, mask, label)
+        assert out.shape == (2, 16, 40)
+        assert np.all(np.isfinite(np.asarray(out)))
