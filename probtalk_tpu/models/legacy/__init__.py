@@ -1,0 +1,8 @@
+"""Legacy / baseline model families carried for capability parity
+(SURVEY.md §2.2): the TalkSHOW ancestor system and older baselines."""
+
+from probtalk_tpu.models.legacy.vqvae_1d import LegacyVQVAE, LegacyAE  # noqa: F401
+from probtalk_tpu.models.legacy.pixelcnn import GatedPixelCNN2D  # noqa: F401
+from probtalk_tpu.models.legacy.baselines import (  # noqa: F401
+    LS3DCG, Speech2GestureG, Speech2GestureD, Audio2Gestures, BodyAE,
+)

@@ -91,6 +91,7 @@ class StyledDecoderLayer(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.1
     styled: bool = True
+    dtype: Optional[jnp.dtype] = None   # bf16 compute, f32 params/norms
 
     @nn.compact
     def __call__(self, x, cond, label_embed, *, causal_mask=None, train: bool = False):
@@ -100,7 +101,7 @@ class StyledDecoderLayer(nn.Module):
             return nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, qkv_features=self.dim,
                 dropout_rate=self.dropout, deterministic=det, name=name,
-                force_fp32_for_softmax=True,
+                force_fp32_for_softmax=True, dtype=self.dtype,
             )
 
         # self-attention
@@ -118,10 +119,10 @@ class StyledDecoderLayer(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + h)
 
         # FFN
-        h = nn.Dense(self.ffn_dim, name="linear1")(x)
+        h = nn.Dense(self.ffn_dim, name="linear1", dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
-        h = nn.Dense(self.dim, name="linear2")(h)
+        h = nn.Dense(self.dim, name="linear2", dtype=self.dtype)(h)
         if self.styled:
             h = StylizationBlock(self.dim, name="style_3")(h, label_embed, train)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
@@ -158,6 +159,7 @@ class PTransformer(nn.Module):
     max_len: int = 1800
     choice_temperature: float = 4.5
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None   # bf16 compute option
 
     @property
     def mask_id(self) -> int:
@@ -172,7 +174,8 @@ class PTransformer(nn.Module):
                                              name="product_PE")
         self.decoder = [
             StyledDecoderLayer(self.dim, self.heads, styled=self.identity,
-                               dropout=self.dropout, name=f"layer_{i}")
+                               dropout=self.dropout, dtype=self.dtype,
+                               name=f"layer_{i}")
             for i in range(self.layers)
         ]
         self.out_hidden = nn.Dense(512, name="out_hidden")

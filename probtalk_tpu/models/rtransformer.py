@@ -28,6 +28,7 @@ class RTransformer(nn.Module):
     motion_context: bool = True
     max_len: int = 1800
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None   # bf16 compute option
 
     @nn.compact
     def __call__(self, x, audio, mask, label, train: bool = False):
@@ -51,7 +52,7 @@ class RTransformer(nn.Module):
         for i in range(self.layers):
             h = StyledDecoderLayer(
                 self.dim, self.heads, styled=self.use_label,
-                dropout=self.dropout, name=f"layer_{i}",
+                dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}",
             )(h, cond, label_embed, train=train)
 
         out = nn.Dense(1024, name="out_hidden")(h)

@@ -45,6 +45,8 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     """Place a pytree of host arrays batch-sharded over the mesh."""
 
     def put(x):
+        if np.ndim(x) <= batch_axis:  # scalars etc. -> replicated
+            return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(
             x, NamedSharding(mesh, data_spec(np.ndim(x), batch_axis))
         )

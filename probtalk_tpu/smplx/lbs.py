@@ -146,16 +146,19 @@ def smplx_forward(model: SmplxModel, betas, expression, full_pose_aa,
     if betas.ndim == 1:
         betas = jnp.broadcast_to(betas, (b,) + betas.shape)
 
+    # f32 accumulation: joint positions feed evaluation metrics, so the
+    # TPU's default bf16 matmul inputs are not acceptable here
+    hi = jax.lax.Precision.HIGHEST
     shape_coeffs = jnp.concatenate([betas, expression], axis=-1)  # (B, nb+ne)
     v_shaped = model.v_template[None] + jnp.einsum(
-        "vcs,bs->bvc", model.shapedirs, shape_coeffs
+        "vcs,bs->bvc", model.shapedirs, shape_coeffs, precision=hi
     )
-    joints = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped)
+    joints = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped, precision=hi)
 
     rot_mats = axis_angle_to_matrix(full_pose_aa.reshape(b, NUM_JOINTS, 3))
     pose_feature = (rot_mats[:, 1:] - jnp.eye(3)[None, None]).reshape(b, -1)
     v_posed = v_shaped + jnp.einsum(
-        "pm,bp->bm", model.posedirs, pose_feature
+        "pm,bp->bm", model.posedirs, pose_feature, precision=hi
     ).reshape(b, -1, 3)
 
     posed_joints, rel = _rigid_transform(rot_mats, joints, model.parents)
@@ -164,9 +167,10 @@ def smplx_forward(model: SmplxModel, betas, expression, full_pose_aa,
     need_verts = return_verts or model.extra_joint_faces.shape[0] > 0
     if need_verts:
         # skinning: per-vertex transform = sum_j w_vj rel_j
-        t_verts = jnp.einsum("vj,bjik->bvik", model.lbs_weights, rel)
+        t_verts = jnp.einsum("vj,bjik->bvik", model.lbs_weights, rel, precision=hi)
         v_hom = jnp.concatenate([v_posed, jnp.ones((b, v_posed.shape[1], 1))], -1)
-        verts = jnp.einsum("bvik,bvk->bvi", t_verts[:, :, :3, :], v_hom)
+        verts = jnp.einsum("bvik,bvk->bvi", t_verts[:, :, :3, :], v_hom,
+                           precision=hi)
         if return_verts:
             out["vertices"] = verts
         if model.extra_joint_faces.shape[0] > 0:

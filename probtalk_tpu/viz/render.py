@@ -1,0 +1,170 @@
+"""Motion visualization: skeleton rendering + video container writers.
+
+Capability of the reference's render stack (``visualise/rendering.py:96-238``:
+pyrender offscreen mesh rendering -> OpenCV writer -> ffmpeg mux;
+``voca/rendering.py:110``). This environment has neither pyrender, OpenCV,
+nor ffmpeg, so the renderer is self-contained:
+
+  * skeleton line rendering of SMPL-X joints with PIL (grid layouts for
+    1..18 sequences like the reference's RenderTool)
+  * GIF export via PIL, and an MJPEG-in-AVI writer implemented directly
+    (plays in standard players, no ffmpeg needed)
+
+Mesh rendering (vertices + faces) reduces to the same pipeline once an
+SMPLX model npz provides faces; `project_points` is shared.
+"""
+
+from __future__ import annotations
+
+import struct
+from io import BytesIO
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# SMPL-X kinematic chain (parent per joint, first 22 body joints + jaw/eyes
+# + simplified 5-finger chains) for stick-figure drawing
+_BODY_BONES = [
+    (0, 1), (0, 2), (0, 3), (1, 4), (2, 5), (3, 6), (4, 7), (5, 8), (6, 9),
+    (7, 10), (8, 11), (9, 12), (12, 15), (9, 13), (9, 14), (13, 16), (14, 17),
+    (16, 18), (17, 19), (18, 20), (19, 21), (15, 22), (15, 23), (15, 24),
+]
+
+
+def project_points(joints: np.ndarray, image_size: int = 512,
+                   scale: float = 1.8, center: Optional[np.ndarray] = None):
+    """Orthographic projection of (..., J, 3) joints to pixel coords
+    (x right, y down), auto-centered."""
+    j = np.asarray(joints)
+    if center is None:
+        center = j.reshape(-1, 3).mean(0)
+    xy = (j[..., :2] - center[:2]) * scale
+    px = (xy[..., 0] * 0.5 + 0.5) * image_size
+    py = (0.5 - xy[..., 1] * 0.5) * image_size
+    return np.stack([px, py], axis=-1)
+
+
+def render_skeleton_frames(joints: np.ndarray, image_size: int = 512,
+                           bones: Optional[Sequence[Tuple[int, int]]] = None,
+                           color=(40, 160, 255)) -> List:
+    """(T, J, 3) joints -> list of PIL images with the skeleton drawn."""
+    from PIL import Image, ImageDraw
+
+    bones = bones if bones is not None else _BODY_BONES
+    center = joints.reshape(-1, 3).mean(0)
+    pts = project_points(joints, image_size, center=center)
+    frames = []
+    nj = joints.shape[1]
+    for t in range(joints.shape[0]):
+        img = Image.new("RGB", (image_size, image_size), (16, 16, 20))
+        draw = ImageDraw.Draw(img)
+        for a, b in bones:
+            if a < nj and b < nj:
+                draw.line([tuple(pts[t, a]), tuple(pts[t, b])], fill=color,
+                          width=3)
+        for ji in range(min(nj, 55)):
+            x, y = pts[t, ji]
+            draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 255, 255))
+        frames.append(img)
+    return frames
+
+
+def grid_layout(frame_lists: List[List], cols: Optional[int] = None):
+    """Tile N sequences into a grid per frame (reference RenderTool grid
+    layouts for 1-18 videos, rendering.py:107-238)."""
+    from PIL import Image
+
+    n = len(frame_lists)
+    if cols is None:
+        cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    t = min(len(f) for f in frame_lists)
+    w, h = frame_lists[0][0].size
+    out = []
+    for i in range(t):
+        canvas = Image.new("RGB", (cols * w, rows * h), (0, 0, 0))
+        for k, fl in enumerate(frame_lists):
+            canvas.paste(fl[i], ((k % cols) * w, (k // cols) * h))
+        out.append(canvas)
+    return out
+
+
+def save_gif(frames: List, path: str, fps: float = 30.0):
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+
+
+def save_mjpeg_avi(frames: List, path: str, fps: float = 30.0,
+                   quality: int = 85):
+    """Write an MJPEG AVI (RIFF) — self-contained, no ffmpeg.
+
+    Standard players (vlc/mpv/browsers via conversion) decode MJPEG AVIs;
+    this replaces the reference's cv2.VideoWriter + ffmpeg mux step.
+    """
+    w, h = frames[0].size
+    jpegs = []
+    for f in frames:
+        buf = BytesIO()
+        f.convert("RGB").save(buf, "JPEG", quality=quality)
+        data = buf.getvalue()
+        if len(data) % 2:
+            data += b"\x00"
+        jpegs.append(data)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    n = len(jpegs)
+    fps_i = max(int(round(fps)), 1)
+    # stream + main headers
+    avih = struct.pack("<14I", int(1e6 / fps_i), 0, 0, 0x10, n, 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII4H",
+                                           0, 0, 0, 0, 1, fps_i, 0, n, 0, 0,
+                                           0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+
+    movi_items = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = chunk(b"LIST", b"movi" + movi_items)
+
+    # idx1 index
+    idx = b""
+    offset = 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(j))
+        offset += 8 + len(j)
+    idx1 = chunk(b"idx1", idx)
+
+    riff = b"AVI " + hdrl + movi + idx1
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+class RenderTool:
+    """Sequence-to-video surface mirroring visualise/rendering.py RenderTool."""
+
+    def __init__(self, out_dir: str, image_size: int = 512, fps: float = 30.0):
+        import os
+
+        self.out_dir = out_dir
+        self.image_size = image_size
+        self.fps = fps
+        os.makedirs(out_dir, exist_ok=True)
+
+    def render_sequences(self, joints_list: List[np.ndarray], name: str,
+                         fmt: str = "avi"):
+        """joints_list: N x (T, J, 3) -> one tiled video file. Returns path."""
+        import os
+
+        frame_lists = [render_skeleton_frames(j, self.image_size)
+                       for j in joints_list]
+        frames = grid_layout(frame_lists) if len(frame_lists) > 1 else frame_lists[0]
+        path = os.path.join(self.out_dir, f"{name}.{fmt}")
+        if fmt == "gif":
+            save_gif(frames, path, self.fps)
+        else:
+            save_mjpeg_avi(frames, path, self.fps)
+        return path

@@ -1,0 +1,105 @@
+"""Aux-subsystem tests: profiling helpers, NaN guards, interp, trainer."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from probtalk_tpu.utils.profiling import timed, Throughput, flops_estimate
+from probtalk_tpu.utils.guards import skip_nonfinite_updates, assert_finite
+from probtalk_tpu.utils.interp import resize_time
+
+
+class TestProfiling:
+    def test_timed(self):
+        f = jax.jit(lambda x: x * 2 + 1)
+        dt, out = timed(f, jnp.ones((8, 8)), iters=3)
+        assert dt > 0 and out.shape == (8, 8)
+
+    def test_throughput(self):
+        tp = Throughput()
+        tp.start()
+        tp.stop(300)
+        assert tp.fps > 0
+        assert tp.rtf == tp.fps / 30.0
+
+    def test_flops_estimate(self):
+        cost = flops_estimate(lambda a, b: a @ b, jnp.ones((64, 64)),
+                              jnp.ones((64, 64)))
+        assert cost.get("flops", 0) > 0
+
+
+class TestGuards:
+    def test_nan_grads_skipped(self):
+        tx = skip_nonfinite_updates(optax.sgd(0.1))
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        good = {"w": jnp.ones(3)}
+        upd, state = tx.update(good, state, params)
+        np.testing.assert_allclose(np.asarray(upd["w"]), -0.1, rtol=1e-6)
+        bad = {"w": jnp.array([1.0, jnp.nan, 1.0])}
+        upd, state = tx.update(bad, state, params)
+        np.testing.assert_array_equal(np.asarray(upd["w"]), 0.0)
+
+    def test_assert_finite(self):
+        assert_finite({"a": jnp.ones(2)})
+        with pytest.raises(FloatingPointError):
+            assert_finite({"a": jnp.array([jnp.inf])})
+
+
+class TestInterp:
+    def test_resize_matches_endpoints(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 22, 4)).astype(np.float32))
+        y = np.asarray(resize_time(x, 176))
+        assert y.shape == (1, 176, 4)
+        assert np.all(np.isfinite(y))
+
+    def test_identity(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 8, 2)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(resize_time(x, 8)), np.asarray(x))
+
+
+class TestTrainer:
+    def test_epoch_loop_and_checkpoint_resume(self, tmp_path, rng):
+        from probtalk_tpu.train.trainer import Trainer, Checkpointer, make_train_dir
+        from probtalk_tpu.train.state import create_train_state, adamw
+        import flax.linen as nn
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(4)(x)
+
+        m = Tiny()
+        x = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+        state = create_train_state(m, (x,), jax.random.key(0), adamw(1e-2))
+
+        @jax.jit
+        def step(state, batch, rng):
+            def loss_fn(p):
+                pred = m.apply({"params": p}, batch["x"])
+                return jnp.mean((pred - batch["y"]) ** 2)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), {"loss": loss}
+
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), max_to_keep=2)
+        tr = Trainer(step, state, lambda e: iter([{"x": x, "y": y}] * 3),
+                     epochs=2, save_every=1, checkpointer=ckpt, print_every=100)
+        final = tr.train()
+        assert int(final.step) == 6
+        assert ckpt.latest_epoch() == 1
+
+        # resume into a fresh trainer
+        state2 = create_train_state(m, (x,), jax.random.key(1), adamw(1e-2))
+        tr2 = Trainer(step, state2, lambda e: iter([{"x": x, "y": y}] * 3),
+                      epochs=3, save_every=1, checkpointer=ckpt, print_every=100)
+        assert tr2.resume()
+        assert tr2.start_epoch == 2
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(final.params)[0]),
+        )
