@@ -1,0 +1,303 @@
+"""Torch reference checkpoints -> probtalk_tpu variables.
+
+Lets users of the reference (feifeifeiliu/probtalk) bring their trained
+torch checkpoints (``torch.save({'generator': {...}})`` nested dicts,
+``trainer/Trainer.py:201-216``) into this framework. Golden parity is
+enforced by tests/test_torch_parity.py, which runs the actual reference
+modules with random weights and compares outputs after conversion.
+
+Layout conventions converted here:
+  torch Conv1d weight (Cout, Cin, K)      -> flax Conv kernel (K, Cin, Cout)
+  torch ConvTranspose1d (Cin, Cout, K)    -> flax ConvTranspose (K, Cin, Cout)
+  torch BatchNorm weight/bias             -> params scale/bias
+        running_mean/var                  -> batch_stats mean/var
+  torch Linear weight (Cout, Cin)         -> flax Dense kernel (Cin, Cout)
+  packed torch MultiheadAttention in_proj -> flax q/k/v (Cin, H, Dh)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t):
+    return np.asarray(getattr(t, "detach", lambda: t)().cpu().numpy()
+                      if hasattr(t, "detach") else t)
+
+
+class _Tree:
+    """Nested dict builder with path puts."""
+
+    def __init__(self):
+        self.params: Dict = {}
+        self.batch_stats: Dict = {}
+
+    @staticmethod
+    def _put(root, path, value):
+        node = root
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    def conv(self, sd, src, dst):
+        self._put(self.params, f"{dst}/kernel", _np(sd[f"{src}.weight"]).transpose(2, 1, 0))
+        if f"{src}.bias" in sd:
+            self._put(self.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+
+    def conv_t(self, sd, src, dst):
+        # torch ConvTranspose1d (Cin, Cout, K); flax ConvTranspose kernel
+        # (K, Cin, Cout) applied UNflipped on the dilated input, while torch
+        # applies the flipped kernel — flip K to match.
+        w = _np(sd[f"{src}.weight"]).transpose(2, 0, 1)[::-1].copy()
+        self._put(self.params, f"{dst}/kernel", w)
+        if f"{src}.bias" in sd:
+            self._put(self.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+
+    def bn(self, sd, src, dst):
+        self._put(self.params, f"{dst}/scale", _np(sd[f"{src}.weight"]))
+        self._put(self.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+        self._put(self.batch_stats, f"{dst}/mean", _np(sd[f"{src}.running_mean"]))
+        self._put(self.batch_stats, f"{dst}/var", _np(sd[f"{src}.running_var"]))
+
+    def linear(self, sd, src, dst):
+        self._put(self.params, f"{dst}/kernel", _np(sd[f"{src}.weight"]).T)
+        if f"{src}.bias" in sd:
+            self._put(self.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+
+    def cnr(self, sd, src, dst, residual=False, transpose=False):
+        """torch ConvNormRelu -> flax ConvNormRelu (conv + norm [+ residual])."""
+        (self.conv_t if transpose else self.conv)(sd, f"{src}.conv", f"{dst}/conv")
+        self.bn(sd, f"{src}.norm", f"{dst}/norm")
+        if residual and f"{src}.residual_layer.weight" in sd:
+            (self.conv_t if transpose else self.conv)(
+                sd, f"{src}.residual_layer", f"{dst}/residual")
+
+    def res_stack(self, sd, src, dst, layers=2):
+        """torch Res_CNR_Stack -> flax ResCNRStack."""
+        for i in range(layers):
+            self.cnr(sd, f"{src}._layers.{i}", f"{dst}/layer_{i}")
+        self.conv(sd, f"{src}.conv", f"{dst}/conv")
+        self.bn(sd, f"{src}.norm", f"{dst}/norm")
+
+
+def load_reference_checkpoint(path: str) -> dict:
+    """torch.load a reference ckpt on CPU -> the 'generator' dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("generator", ckpt)
+
+
+# ---------------------------------------------------------------------------
+# VQVAE_SC (s2g_body_vqt)
+# ---------------------------------------------------------------------------
+
+def convert_vqvae(sd: dict, groups: int = 4, res_layers: int = 2) -> dict:
+    """Reference ``VQVAE_SC`` state dict (the 'VQ' entry of an s2g_body_vqt
+    checkpoint) -> variables for ``probtalk_tpu.models.vqvae.VQVAE``."""
+    from probtalk_tpu.quant.pq import PQState
+
+    sd = {k: v for k, v in sd.items()}
+    t = _Tree()
+
+    # encoder (reference EncoderSC, vqvae_1d_sc.py:197-235)
+    t.cnr(sd, "encoder.project", "encoder/project")
+    for i in (1, 2, 3, 4):
+        t.res_stack(sd, f"encoder._enc_{i}", f"encoder/enc_{i}", res_layers)
+    for i in (1, 2, 3):
+        t.cnr(sd, f"encoder._down_{i}", f"encoder/down_{i}", residual=True)
+    t.conv(sd, "encoder.pre_vq_conv", "encoder/pre_vq_conv")
+
+    # decoder (reference DecoderSC, vqvae_1d_sc.py:238-274)
+    t.conv(sd, "decoder.aft_vq_conv", "decoder/aft_vq_conv")
+    for i in (1, 2, 3, 4):
+        t.res_stack(sd, f"decoder._dec_{i}", f"decoder/dec_{i}", res_layers)
+    for i in (2, 3, 4):
+        t.cnr(sd, f"decoder._up_{i}", f"decoder/up_{i}", residual=True,
+              transpose=True)
+    t.conv(sd, "decoder.project", "decoder/project")
+
+    # quantizer state (embeddings_{g} + EMA hiddens)
+    codebooks = np.stack([_np(sd[f"vq_layer.embeddings_{g}"]) for g in range(groups)])
+    ema_dw = np.stack([_np(sd[f"vq_layer.ema_dw.{g}.hidden"]) for g in range(groups)]) \
+        if f"vq_layer.ema_dw.0.hidden" in sd else np.zeros_like(codebooks)
+    ema_counts = np.stack(
+        [_np(sd[f"vq_layer.ema_cluster_size.{g}.hidden"]) for g in range(groups)]
+    ) if f"vq_layer.ema_cluster_size.0.hidden" in sd else \
+        np.zeros(codebooks.shape[:2], np.float32)
+    quant = PQState(
+        codebooks=jnp.asarray(codebooks),
+        ema_counts=jnp.asarray(ema_counts),
+        ema_dw=jnp.asarray(ema_dw),
+        # torch tracks the EMA counter as a python attr not saved in the
+        # ckpt; a large value makes the bias correction ~1 (converged ckpt)
+        counter=jnp.asarray(100000, jnp.int32),
+    )
+    return {"params": t.params, "batch_stats": t.batch_stats,
+            "quant": {"pq": quant}}
+
+
+# ---------------------------------------------------------------------------
+# ConditionEncoder (AudEnc/TextEnc of the predictor)
+# ---------------------------------------------------------------------------
+
+def convert_condition_encoder(sd: dict, prefix: str = "") -> dict:
+    """Reference ``ConditionEncoder`` (vqvae_1d_sc.py:70-91) -> flax
+    ConditionEncoder variables."""
+    t = _Tree()
+    p = prefix
+    t.conv(sd, f"{p}feature_map.0", "feature_map")
+    t.bn(sd, f"{p}feature_map.1", "fm_norm")
+    for i in (1, 2, 3):
+        t.cnr(sd, f"{p}_down_{i}", f"down_{i - 1}", residual=True)
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# transformer stacks (PTransformer / RTransformer)
+# ---------------------------------------------------------------------------
+
+def _mha(t: _Tree, sd, src, dst, dim: int, heads: int = 8):
+    """torch nn.MultiheadAttention (packed in_proj) -> flax MHA q/k/v/out."""
+    dh = dim // heads
+    w = _np(sd[f"{src}.in_proj_weight"])
+    b = _np(sd[f"{src}.in_proj_bias"])
+    for i, name in enumerate(("query", "key", "value")):
+        t._put(t.params, f"{dst}/{name}/kernel",
+               w[i * dim:(i + 1) * dim].T.reshape(dim, heads, dh))
+        t._put(t.params, f"{dst}/{name}/bias",
+               b[i * dim:(i + 1) * dim].reshape(heads, dh))
+    t._put(t.params, f"{dst}/out/kernel",
+           _np(sd[f"{src}.out_proj.weight"]).T.reshape(heads, dh, dim))
+    t._put(t.params, f"{dst}/out/bias", _np(sd[f"{src}.out_proj.bias"]))
+
+
+def _ln(t: _Tree, sd, src, dst):
+    t._put(t.params, f"{dst}/scale", _np(sd[f"{src}.weight"]))
+    t._put(t.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+
+
+def _style_block(t: _Tree, sd, src, dst):
+    """StylizationBlock_V3 'sb' branch (PTransformer.py:69-79,134-140)."""
+    t.linear(sd, f"{src}.emb_layers_2.1", f"{dst}/emb")
+    _ln(t, sd, f"{src}.norm_2", f"{dst}/norm")
+    t.linear(sd, f"{src}.out_layers_2.2", f"{dst}/out")
+
+
+def _styled_layer(t: _Tree, sd, src, dst, dim: int, heads: int = 8,
+                  styled: bool = True):
+    """DeepSupervisionLayer (PTransformer.py:284-372) -> StyledDecoderLayer."""
+    _mha(t, sd, f"{src}.self_attn", f"{dst}/self_attn", dim, heads)
+    _mha(t, sd, f"{src}.multihead_attn", f"{dst}/cross_attn", dim, heads)
+    t.linear(sd, f"{src}.linear1", f"{dst}/linear1")
+    t.linear(sd, f"{src}.linear2", f"{dst}/linear2")
+    for i in (1, 2, 3):
+        _ln(t, sd, f"{src}.norm{i}", f"{dst}/norm{i}")
+    if styled:
+        for i in (1, 2, 3):
+            _style_block(t, sd, f"{src}.style_gourp_{i}", f"{dst}/style_{i}")
+
+
+def _conv1x1_as_dense(t: _Tree, sd, src, dst):
+    """torch Conv1d kernel-1 -> flax Dense."""
+    w = _np(sd[f"{src}.weight"])[:, :, 0].T
+    t._put(t.params, f"{dst}/kernel", w)
+    if f"{src}.bias" in sd:
+        t._put(t.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+
+
+def convert_rtransformer(sd: dict, layers: int = 6, dim: int = 512,
+                         use_label: bool = True) -> dict:
+    """Reference RTransformer (RTransformer.py:181-230) -> our RTransformer
+    variables. Key prefix: '' (pass the RTransformer sub-dict)."""
+    t = _Tree()
+    _conv1x1_as_dense(t, sd, "input_conv", "input_conv")
+    _conv1x1_as_dense(t, sd, "audio_conv", "audio_conv")
+    if use_label:
+        t._put(t.params, "class_embed/embedding", _np(sd["class_embed.weight"]))
+    for i in range(layers):
+        _styled_layer(t, sd, f"transformer_decoder.layers.{i}", f"layer_{i}",
+                      dim, styled=use_label)
+    _conv1x1_as_dense(t, sd, "output_conv.0", "out_hidden")
+    _conv1x1_as_dense(t, sd, "output_conv.2", "out_proj")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def convert_ptransformer(sd: dict, layers: int = 6, dim: int = 512,
+                         styled: bool = True, prefix: str = "") -> dict:
+    """Reference PTransformer (PTransformer.py:394-504) -> our PTransformer
+    variables (sinusoidal PEs are recomputed, not copied)."""
+    t = _Tree()
+    p = prefix
+    t._put(t.params, "tok_emb/embedding", _np(sd[f"{p}tok_emb.weight"]))
+    t._put(t.params, "class_embed/embedding", _np(sd[f"{p}class_embed.weight"]))
+    _conv1x1_as_dense(t, sd, f"{p}condi_emb", "condi_emb")
+    for i in range(layers):
+        _styled_layer(t, sd, f"{p}transformer_decoder.layers.{i}", f"layer_{i}",
+                      dim, styled=styled)
+    _conv1x1_as_dense(t, sd, f"{p}output_conv.0", "out_hidden")
+    _conv1x1_as_dense(t, sd, f"{p}output_conv.2", "out_proj")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# PredictorNet / full stages
+# ---------------------------------------------------------------------------
+
+def _gated_conv(t: _Tree, sd, src, dst):
+    """gated_pixelcnn_1d.GatedConv -> GatedConv1D (vert_stack + res + skip)."""
+    t.conv(sd, f"{src}.vert_stack", f"{dst}/vert_stack")
+    if f"{src}.res.weight" in sd:
+        t.conv(sd, f"{src}.res", f"{dst}/res")
+    if f"{src}.conv.weight" in sd:  # strided skip (Identity otherwise)
+        t.conv(sd, f"{src}.conv", f"{dst}/skip")
+
+
+def convert_predictor_net(sd: dict, enc_layers: int = 10, dec_layers: int = 6,
+                          dim: int = 512, styled: bool = True) -> dict:
+    """Reference PredictorNet (predictornet.py:13-112) -> our PredictorNet
+    variables (motion-context gated convs + PTransformer decoder)."""
+    t = _Tree()
+    t.conv(sd, "motion_embedding", "motion_enc/motion_embedding")
+    for i in range(enc_layers):
+        _gated_conv(t, sd, f"enc.{i}", f"motion_enc/enc_{i}")
+    dec = convert_ptransformer(sd, dec_layers, dim, styled, prefix="decoder.")
+    t.params["decoder"] = dec["params"]
+    if dec["batch_stats"]:
+        t.batch_stats["decoder"] = dec["batch_stats"]
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def convert_predictor_stage(gen: dict, **kw) -> dict:
+    """Full s2g_body_predictor checkpoint 'generator' dict
+    ({'AudEnc', 'Predictor', 'TextEnc', ...}, predictor.py:128-143) ->
+    PredictorStage variables."""
+    out_p: Dict = {}
+    out_b: Dict = {}
+    net = convert_predictor_net(gen["Predictor"], **kw)
+    out_p["net"] = net["params"]
+    if net["batch_stats"]:
+        out_b["net"] = net["batch_stats"]
+    if "AudEnc" in gen and gen["AudEnc"]:
+        aud = convert_condition_encoder(gen["AudEnc"])
+        out_p["aud_enc"] = aud["params"]
+        out_b["aud_enc"] = aud["batch_stats"]
+    if "TextEnc" in gen and gen["TextEnc"]:
+        txt = convert_condition_encoder(gen["TextEnc"])
+        out_p["text_enc"] = txt["params"]
+        out_b["text_enc"] = txt["batch_stats"]
+    return {"params": out_p, "batch_stats": out_b}
+
+
+def convert_refiner_stage(gen: dict, layers: int = 6) -> dict:
+    """s2g_body_refiner checkpoint 'generator' dict ({'RTransformer'
+    under 'HFTransformer'/'RTransformer' naming, refiner.py:137-156}) ->
+    RefinerStage variables."""
+    key = "RTransformer" if "RTransformer" in gen else "HFTransformer"
+    rt = convert_rtransformer(gen[key], layers=layers)
+    return {"params": {"net": rt["params"]},
+            "batch_stats": ({"net": rt["batch_stats"]} if rt["batch_stats"] else {})}
