@@ -1,11 +1,16 @@
-"""Demo CLI: one audio file -> holistic SMPL-X motion (.npy).
+"""Demo CLI: one audio file -> holistic SMPL-X motion (.npy, optional video).
 
 Capability of the reference's ``scripts/demo.py``: load a wav, extract
 motion-fps audio features, run the two-stage pipeline in sliding windows,
-denormalize, convert 6d -> axis-angle, splice the canned lower body, and
-save the motion (+ optionally SMPL-X joints if a model npz is given).
-Rendering to mp4 (pyrender in the reference) is gated behind
-``probtalk_tpu.viz`` availability.
+denormalize, convert 6d -> axis-angle, splice the canned lower body, save
+the motion, and (with an SMPL-X model npz) render a skeleton video.
+
+Runs out of the box: with no checkpoints given the stages are random-init
+(shape-complete smoke path); pass --model_path (VQ) and --body_model_path
+(predictor ckpt dir, refiner ckpt dir) to use trained weights.
+
+    python -m probtalk_tpu.cli.demo --config_file configs/transformer.json \
+        --audio_file <wav> --id 1 --num_sample 2
 """
 
 from __future__ import annotations
@@ -15,43 +20,102 @@ import os
 import numpy as np
 
 
-def generate_motion(config, audio_file: str, speaker_id: int, num_sample: int,
-                    vq_state_and_model, predictor, refiner, mean, std,
-                    stand: bool = False, seed: int = 0):
-    """Full audio->motion path shared by demo and the holistic test harness.
-    Returns (B, T, 165+100) denormalized axis-angle motion."""
+def build_pipeline(config, norm_stats_path: str, vq_path=None,
+                   predictor_path=None, refiner_path=None, seed: int = 0):
+    """Construct the three stages (+ restore checkpoints when given)."""
+    import jax
+    import jax.numpy as jnp
+    from probtalk_tpu.core import body_parts
+    from probtalk_tpu.data.preprocess import load_norm_stats
+    from probtalk_tpu.models.vqvae import VQVAE
+    from probtalk_tpu.pipeline import HolisticPipeline
+    from probtalk_tpu.train.stages import PredictorStage, RefinerStage
+    from probtalk_tpu.train.state import create_train_state, adamw
+    from probtalk_tpu.train.trainer import Checkpointer
+
+    m = config.Model
+    cm = body_parts.full_dim(True)
+    groups = m.get("groups", 4)
+    aud_dim = config.Data.aud.get("aud_feat_dim", 64)
+    window = config.Data.pose.get("generate_length", 180)
+
+    vq = VQVAE(in_dim=cm, embedding_dim=m.get("code_dim", 128) * groups,
+               num_codes=m.get("code_num", 128), groups=groups,
+               hiddens=m.get("hiddens", 1024), res_layers=m.get("res_layers", 2))
+    x0 = jnp.zeros((1, window, cm), jnp.float32)
+    vq_state = create_train_state(vq, (x0,), jax.random.key(seed), adamw(1e-4),
+                                  init_kwargs={"train": True})
+    if vq_path and os.path.exists(vq_path):
+        restored, _ = Checkpointer(vq_path).restore(vq_state)
+        if restored is not None:
+            vq_state = restored
+    vq_vars = {"params": vq_state.params, **vq_state.mutables}
+
+    pred = PredictorStage(mot_dim=cm, num_code=m.get("code_num", 128),
+                          groups=groups, maskgit_T=m.get("maskgit_T", 8),
+                          aud_dim=aud_dim)
+    mask0 = jnp.zeros((1, window, 1), jnp.float32)
+
+    def down3(n):
+        for _ in range(3):
+            n = (n - 2) // 2 + 1
+        return n
+
+    codes0 = jnp.zeros((1, down3(window), groups), jnp.int32)
+    spk0 = jnp.zeros((1,), jnp.int32)
+    aud0 = jnp.zeros((1, window, aud_dim), jnp.float32)
+    pred_state = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
+                                    jax.random.key(seed + 1), adamw(1e-4),
+                                    init_kwargs={"train": True})
+    if predictor_path and os.path.exists(predictor_path):
+        restored, _ = Checkpointer(predictor_path).restore(pred_state)
+        if restored is not None:
+            pred_state = restored
+
+    ref = RefinerStage(in_dim=cm, aud_dim=aud_dim)
+    ref_state = create_train_state(ref, (x0, aud0, mask0, spk0),
+                                   jax.random.key(seed + 2), adamw(1e-4),
+                                   init_kwargs={"train": True})
+    if refiner_path and os.path.exists(refiner_path):
+        restored, _ = Checkpointer(refiner_path).restore(ref_state)
+        if restored is not None:
+            ref_state = restored
+
+    mean, std = load_norm_stats(norm_stats_path)
+    pipe = HolisticPipeline(vq, vq_vars, pred, pred_state, ref, ref_state,
+                            window=window, overlap=30)
+    return pipe, mean, std
+
+
+def generate_motion(pipe, mean, std, audio_file: str, speaker_id: int,
+                    num_sample: int, stand: bool = False, seed: int = 0,
+                    aud_feat_dim: int = 64):
+    """audio -> (B, T, 265) denormalized axis-angle motion + expression."""
     import jax
     import jax.numpy as jnp
     from probtalk_tpu.core import body_parts, normalize
     from probtalk_tpu.core.rotation import d6_to_aa_flat
     from probtalk_tpu.data import audio as audio_lib
-    from probtalk_tpu.pipeline import HolisticPipeline
-
-    vq_model, vq_vars = vq_state_and_model
-    pred_stage, pred_state = predictor
-    ref_stage, ref_state = refiner
 
     wav = audio_lib.load_wav(audio_file, target_sr=16000)
     n_frames = int(len(wav) / 16000 * 30)
-    feat = audio_lib.mfcc(wav, sr=16000, n_mfcc=64, fps=30)
+    feat = audio_lib.mfcc(wav, sr=16000, n_mfcc=aud_feat_dim, fps=30)
     aud = audio_lib.interp_features_to_fps(feat, n_frames)
 
-    pipe = HolisticPipeline(vq_model, vq_vars, pred_stage, pred_state,
-                            ref_stage, ref_state)
     speaker = jnp.full((num_sample,), speaker_id, jnp.int32)
     out = pipe.generate(jax.random.key(seed), jnp.asarray(aud), speaker,
                         B=num_sample)
-    # denormalize fbhe -> split -> 6d->aa -> splice lower body
     idx = body_parts.c_index(True)
     out = normalize.denormalize(out, mean, std, shape="fbhe", idx=idx)
     jaw_d = body_parts.each_dim(True)[0]
-    d6 = jnp.concatenate([out[..., :jaw_d + 270]], -1)  # jaw + modelled joints
+    d6 = out[..., : jaw_d + 270]
     expr = out[..., -100:]
-    aa = d6_to_aa_flat(d6.reshape(-1, 276)).reshape(out.shape[0], -1, 138)
-    full = body_parts.part2full(aa, stand=stand)        # (B, T, 165)
-    motion = jnp.concatenate([full, expr], -1)
+    b, t, _ = d6.shape
+    aa = d6_to_aa_flat(d6.reshape(-1, 276)).reshape(b, t, 138)
+    full = body_parts.part2full(aa, stand=stand)   # (B, T, 165)
+    motion = np.asarray(jnp.concatenate([full, expr], -1))
     print(f"generated {motion.shape} | pipeline fps={pipe.timers.fps:.1f}")
-    return np.asarray(motion)
+    return motion
 
 
 def main(argv=None):
@@ -60,11 +124,40 @@ def main(argv=None):
 
     args = parse_args(argv)
     config = load_config(args.config_file)
-    raise SystemExit(
-        "demo requires trained checkpoints; wire them with --body_model_path "
-        "(predictor, refiner) and --model_path (vq). See cli/test_holistic.py "
-        "for the full harness."
+    if not args.audio_file:
+        raise SystemExit("--audio_file is required")
+
+    norm_stats = os.environ.get(
+        "PROBTALK_NORM_STATS", "/root/reference/data_utils/norm_stats.npy")
+    body_paths = args.body_model_path or [None, None]
+    pipe, mean, std = build_pipeline(
+        config, norm_stats, vq_path=args.model_path,
+        predictor_path=body_paths[0],
+        refiner_path=body_paths[1] if len(body_paths) > 1 else None,
     )
+    motion = generate_motion(
+        pipe, mean, std, args.audio_file, args.id, args.num_sample,
+        stand=args.stand, aud_feat_dim=config.Data.aud.get("aud_feat_dim", 64),
+    )
+    out_dir = os.path.join(args.save_dir, "demo")
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.audio_file))[0]
+    out_path = os.path.join(out_dir, f"{base}.npy")
+    np.save(out_path, motion)
+    print(f"saved {out_path}")
+
+    smplx_npz = os.environ.get("smplx_npz_path")
+    if smplx_npz and os.path.exists(smplx_npz):
+        import jax.numpy as jnp
+        from probtalk_tpu.smplx import load_smplx, smplx_joints
+        from probtalk_tpu.viz import RenderTool
+
+        model = load_smplx(smplx_npz)
+        joints = np.asarray(smplx_joints(
+            model, jnp.zeros((300,)), jnp.asarray(motion)))
+        rt = RenderTool(out_dir)
+        video = rt.render_sequences([joints[i] for i in range(len(joints))], base)
+        print(f"rendered {video}")
 
 
 if __name__ == "__main__":

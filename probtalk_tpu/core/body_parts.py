@@ -189,3 +189,27 @@ def pred2poses(x, gt):
          x[..., 6:9], gt[..., 30:36], x[..., 9:]],
         axis=-1,
     )
+
+
+def sit2stand(x):
+    """Replace a full pose's lower body with the standing-zero pose
+    (reference: data_utils/lower_body.py:86-100)."""
+    lp = jnp.broadcast_to(jnp.asarray(_lp(stand=True)), x.shape[:-1] + (27,))
+    return jnp.concatenate(
+        [x[..., :3], lp[..., :15], x[..., 18:21], lp[..., 15:21],
+         x[..., 27:30], lp[..., 21:27], x[..., 36:]],
+        axis=-1,
+    )
+
+
+def poses2poses(x, gt):
+    """Full pose with lower body taken from the FIRST GT frame
+    (reference: data_utils/lower_body.py:157-166)."""
+    first = gt[..., :1, :] if gt.ndim == x.ndim else gt
+    lp3 = jnp.broadcast_to(first[..., 3:18], x.shape[:-1] + (15,))
+    lp2 = jnp.broadcast_to(first[..., 21:27], x.shape[:-1] + (6,))
+    lp1 = jnp.broadcast_to(first[..., 30:36], x.shape[:-1] + (6,))
+    return jnp.concatenate(
+        [x[..., :3], lp3, x[..., 18:21], lp2, x[..., 27:30], lp1, x[..., 36:]],
+        axis=-1,
+    )

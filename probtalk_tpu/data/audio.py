@@ -115,6 +115,44 @@ def mfcc(x: np.ndarray, sr: int = 16000, n_mfcc: int = 64, n_fft: int = 2048,
     return dct(lm, type=2, axis=-1, norm="ortho")[:, :n_mfcc].astype(np.float32)
 
 
+def audio_chunking(x: np.ndarray, frame_rate: int = 30,
+                   chunk_size: int = 16000) -> np.ndarray:
+    """(S,) waveform -> (T, chunk_size) overlapping chunks centered per
+    motion frame (the meshtalk-style frontend, data_utils/utils.py
+    audio_chunking)."""
+    hop = 16000 // frame_rate
+    n = len(x) // hop
+    half = chunk_size // 2
+    xp = np.pad(x, (half, half))
+    out = np.empty((n, chunk_size), np.float32)
+    for i in range(n):
+        c = i * hop + half
+        out[i] = xp[c - half: c + half]
+    return out
+
+
+def mfcc_sepa(x: np.ndarray, sr: int = 16000, n_mfcc: int = 64,
+              fps: float = 30.0, split_sec: float = 2.0):
+    """MFCCs computed in two halves around a split point and concatenated —
+    the reference's ``get_mfcc_sepa`` (data_utils/utils.py:219-244) used for
+    continuation inference. Returns (features (T, n_mfcc), split_frame)."""
+    split = int(split_sec * sr)
+    a = mfcc(x[:split], sr, n_mfcc, fps=fps)
+    b = mfcc(x[split:], sr, n_mfcc, fps=fps)
+    return np.concatenate([a, b], axis=0), a.shape[0]
+
+
+def mel_chunked(x: np.ndarray, sr: int = 16000, n_mels: int = 64,
+                fps: float = 30.0, chunk_sec: float = 5.0) -> np.ndarray:
+    """Chunked mel ('mel_mul' feat method, data_utils/utils.py): long audio
+    processed in chunks to bound memory, concatenated at motion fps."""
+    hop = int(round(sr / fps))
+    chunk = int(chunk_sec * sr)
+    parts = [log_mel(x[i:i + chunk], sr, hop=hop, n_mels=n_mels)
+             for i in range(0, max(len(x), 1), chunk)]
+    return np.concatenate(parts, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # onsets (for the beat-consistency metric)
 # ---------------------------------------------------------------------------

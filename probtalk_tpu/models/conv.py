@@ -140,3 +140,71 @@ class ConditionEncoder(nn.Module):
             h = ConvNormRelu(self.features, sample="down", leaky=True, residual=True,
                              dropout=self.dropout, name=f"down_{i}")(h, train)
         return h
+
+
+class AudioEncoderWav2(nn.Module):
+    """Wav2vec-feature condition encoder: 1x1 map + 3 residual downs
+    (reference AudioEncoder_Wav2, vqvae_1d_sc.py:48-67)."""
+
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.features, (1,), name="audio_feature_map")(x)
+        h = _norm_layer("bn", train, "fm_norm")(h)
+        h = nn.leaky_relu(h, negative_slope=0.1)
+        for i in range(3):
+            h = ConvNormRelu(self.features, sample="down", leaky=True,
+                             residual=True, name=f"down_{i}")(h, train)
+        return h
+
+
+class MotionEncoder(nn.Module):
+    """Gated-norm motion condition encoder (reference MotionEncoder,
+    vqvae_1d_sc.py:94-115)."""
+
+    features: int = 256
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.features, (1,), name="feature_map")(x)
+        h = GatedActivation(self.features, name="gate")(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        for i in range(3):
+            h = ConvNormRelu(self.features, sample="down", leaky=True, slope=1.0,
+                             residual=True, norm="gate", dropout=self.dropout,
+                             name=f"down_{i}")(h, train)
+        return h
+
+
+class TextEncoder(nn.Module):
+    """Text condition encoder: project + 3 residual downs
+    (reference TextEncoder, vqvae_1d_sc.py:15-45)."""
+
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvNormRelu(self.features, leaky=True, name="project")(x, train)
+        for i in range(3):
+            h = ConvNormRelu(self.features, sample="down", leaky=True,
+                             residual=True, name=f"down_{i}")(h, train)
+        return h
+
+
+class EncoderTopDown(nn.Module):
+    """No-downsample stacked encoder (reference EncoderTopDown,
+    vqvae_1d_sc.py:118-149)."""
+
+    features: int = 256
+    res_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvNormRelu(self.features, leaky=True, name="project")(x, train)
+        for i in range(3):
+            h = ResCNRStack(self.features, self.res_layers, leaky=True,
+                            leaky_out=True, name=f"enc_{i}")(h, train)
+        return h

@@ -148,6 +148,42 @@ class HolisticPipeline:
         return outputs
 
 
+def continue_generation(pipe: "HolisticPipeline", key, prev_motion, aud_feat,
+                        speaker, num_pre: int = 24):
+    """Continue a previous generation: the trailing ``num_pre`` frames of
+    ``prev_motion`` seed the next window as known context (the reference's
+    ``continuity`` inference, predictor.py:328-396 with num_pre=24).
+
+    prev_motion: (B, T_prev, C); aud_feat: (T_new, Ca) for the continuation.
+    Returns (B, T_new, C) new frames (context excluded).
+    """
+    b = prev_motion.shape[0]
+    t_new = aud_feat.shape[0]
+    w = pipe.window
+    c = prev_motion.shape[-1]
+    aud = jnp.asarray(aud_feat)[None].repeat(b, 0)
+
+    outputs = []
+    ctx_frames = prev_motion[:, -num_pre:]
+    pos = 0
+    while pos < t_new:
+        key, k = jax.random.split(key)
+        take = min(w - num_pre, t_new - pos)
+        aud_w = _pad_time(
+            jnp.concatenate(
+                [jnp.zeros((b, num_pre, aud.shape[-1]), aud.dtype),
+                 aud[:, pos: pos + take]], axis=1),
+            w)
+        ctx = jnp.zeros((b, w, c), jnp.float32).at[:, :num_pre].set(ctx_frames)
+        mask = jnp.zeros((b, w, 1), jnp.float32).at[:, :num_pre].set(1.0)
+        refined, _, _ = pipe.generate_window(k, aud_w, speaker, ctx, mask)
+        new = refined[:, num_pre: num_pre + take]
+        outputs.append(new)
+        ctx_frames = jnp.concatenate([ctx_frames, new], axis=1)[:, -num_pre:]
+        pos += take
+    return jnp.concatenate(outputs, axis=1)
+
+
 def _pad_time(x, t_out: int):
     t = x.shape[1]
     if t == t_out:

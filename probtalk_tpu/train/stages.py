@@ -170,6 +170,33 @@ def make_predictor_infer_fn(stage: PredictorStage, vq_model, vq_variables):
     return infer
 
 
+def make_predictor_code_eval_fn(stage: PredictorStage, vq_model, vq_variables,
+                                mask_ratio: float = 0.85):
+    """Masked-code CE evaluation: mask ~85% of GT codes, measure the
+    predictor's CE on the masked positions (reference infer_on_vq,
+    predictor.py:450-536 final variant)."""
+
+    @jax.jit
+    def evaluate(state: TrainState, key, gt_poses, speaker, aud, text=None):
+        variables = {"params": state.params, **state.mutables}
+        _, _, codes = vq_model.apply(vq_variables, gt_poses, train=False,
+                                     method=vq_model.encode)
+        k1, _ = jax.random.split(key)
+        code_mask = jax.random.uniform(k1, codes.shape) < mask_ratio
+        masked = jnp.where(code_mask, stage.num_code, codes)
+        mask = jnp.zeros_like(gt_poses[..., :1])
+        logits = stage.apply(variables, gt_poses * mask, masked, mask, speaker,
+                             aud, text, 1.0, train=False)
+        from probtalk_tpu.train import losses as L
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+        ce = jnp.sum(nll * code_mask) / jnp.clip(jnp.sum(code_mask), 1)
+        return ce
+
+    return evaluate
+
+
 # ---------------------------------------------------------------------------
 # refiner stage
 # ---------------------------------------------------------------------------

@@ -93,3 +93,28 @@ class TestHarness:
         assert res["clips"] == 1
         assert res["fps"] > 0
         assert np.isfinite(res["diversity"])
+
+
+class TestContinuation:
+    def test_continue_generation(self, pipeline, rng):
+        from probtalk_tpu.pipeline import continue_generation
+
+        prev = jnp.asarray(rng.normal(size=(1, 20, CM)).astype(np.float32))
+        aud = jnp.asarray(rng.normal(size=(25, CA)).astype(np.float32))
+        out = continue_generation(pipeline, jax.random.key(0), prev, aud,
+                                  jnp.zeros((1,), jnp.int32), num_pre=4)
+        assert out.shape == (1, 25, CM)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestCodeEval:
+    def test_masked_code_ce(self, pipeline, rng):
+        from probtalk_tpu.train.stages import make_predictor_code_eval_fn
+
+        evaluate = make_predictor_code_eval_fn(
+            pipeline.predictor_stage, pipeline.vq_model, pipeline.vq_variables)
+        gt = jnp.asarray(rng.normal(size=(2, W, CM)).astype(np.float32))
+        aud = jnp.asarray(rng.normal(size=(2, W, CA)).astype(np.float32))
+        ce = evaluate(pipeline.predictor_state, jax.random.key(1), gt,
+                      jnp.zeros((2,), jnp.int32), aud)
+        assert np.isfinite(float(ce)) and float(ce) > 0

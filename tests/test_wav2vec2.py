@@ -1,0 +1,82 @@
+"""Wav2Vec2 flax encoder tests (tiny config) + HF converter mapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probtalk_tpu.audio.wav2vec2 import (
+    Wav2Vec2Encoder, FeatureExtractor, convert_hf_wav2vec2, _CONV_LAYERS,
+)
+
+
+class TestFeatureExtractor:
+    def test_downsample_320x(self, rng):
+        fe = FeatureExtractor()
+        x = jnp.asarray(rng.normal(size=(1, 3200)).astype(np.float32))
+        v = fe.init(jax.random.key(0), x)
+        out = fe.apply(v, x)
+        assert out.shape[-1] == 512
+        # total stride 320, VALID conv edges: ~S/320 frames
+        assert 5 <= out.shape[1] <= 10
+
+
+class TestEncoder:
+    def test_fps_alignment(self, rng):
+        enc = Wav2Vec2Encoder(dim=64, layers=2, heads=4, conv_pos_kernel=16,
+                              conv_pos_groups=4)
+        x = jnp.asarray(rng.normal(size=(1, 16000)).astype(np.float32))
+        v = enc.init(jax.random.key(0), x, n_frames=30)
+        out = enc.apply(v, x, n_frames=30)
+        assert out.shape == (1, 30, 64)   # 1s -> 30 motion frames
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_native_rate_without_alignment(self, rng):
+        enc = Wav2Vec2Encoder(dim=64, layers=1, heads=4, conv_pos_kernel=16,
+                              conv_pos_groups=4)
+        x = jnp.asarray(rng.normal(size=(1, 16000)).astype(np.float32))
+        v = enc.init(jax.random.key(0), x)
+        out = enc.apply(v, x)
+        assert 45 <= out.shape[1] <= 50   # ~50 fps native
+
+
+class TestHFConverter:
+    def test_mapping_from_synthetic_state_dict(self, rng):
+        """Build an HF-shaped numpy state dict and check the converted tree
+        loads into the module (full wav2vec2-base geometry)."""
+        dim, heads, ffn, layers = 768, 12, 3072, 2
+        sd = {}
+        for i, (d, k, s) in enumerate(_CONV_LAYERS):
+            cin = 1 if i == 0 else 512
+            sd[f"feature_extractor.conv_layers.{i}.conv.weight"] = \
+                rng.normal(size=(d, cin, k)).astype(np.float32)
+        sd["feature_extractor.conv_layers.0.layer_norm.weight"] = np.ones(512, np.float32)
+        sd["feature_extractor.conv_layers.0.layer_norm.bias"] = np.zeros(512, np.float32)
+        sd["feature_projection.layer_norm.weight"] = np.ones(512, np.float32)
+        sd["feature_projection.layer_norm.bias"] = np.zeros(512, np.float32)
+        sd["feature_projection.projection.weight"] = rng.normal(size=(dim, 512)).astype(np.float32)
+        sd["feature_projection.projection.bias"] = np.zeros(dim, np.float32)
+        sd["encoder.pos_conv_embed.conv.weight"] = rng.normal(size=(dim, dim // 16, 128)).astype(np.float32)
+        sd["encoder.pos_conv_embed.conv.bias"] = np.zeros(dim, np.float32)
+        sd["encoder.layer_norm.weight"] = np.ones(dim, np.float32)
+        sd["encoder.layer_norm.bias"] = np.zeros(dim, np.float32)
+        for i in range(layers):
+            b = f"encoder.layers.{i}"
+            for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[f"{b}.attention.{p}.weight"] = rng.normal(size=(dim, dim)).astype(np.float32)
+                sd[f"{b}.attention.{p}.bias"] = np.zeros(dim, np.float32)
+            sd[f"{b}.layer_norm.weight"] = np.ones(dim, np.float32)
+            sd[f"{b}.layer_norm.bias"] = np.zeros(dim, np.float32)
+            sd[f"{b}.feed_forward.intermediate_dense.weight"] = rng.normal(size=(ffn, dim)).astype(np.float32)
+            sd[f"{b}.feed_forward.intermediate_dense.bias"] = np.zeros(ffn, np.float32)
+            sd[f"{b}.feed_forward.output_dense.weight"] = rng.normal(size=(dim, ffn)).astype(np.float32)
+            sd[f"{b}.feed_forward.output_dense.bias"] = np.zeros(dim, np.float32)
+            sd[f"{b}.final_layer_norm.weight"] = np.ones(dim, np.float32)
+            sd[f"{b}.final_layer_norm.bias"] = np.zeros(dim, np.float32)
+
+        variables = convert_hf_wav2vec2(sd)
+        enc = Wav2Vec2Encoder(dim=dim, layers=layers, heads=heads)
+        x = jnp.asarray(rng.normal(size=(1, 8000)).astype(np.float32) * 0.1)
+        out = enc.apply(variables, x, n_frames=15)
+        assert out.shape == (1, 15, dim)
+        assert np.all(np.isfinite(np.asarray(out)))
