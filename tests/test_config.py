@@ -40,3 +40,26 @@ def test_immutable_and_replace():
 def test_dict_merge_nested():
     out = dict_merge({"a": {"x": 1, "y": 2}}, {"a": {"y": 3}, "b": 4})
     assert out == {"a": {"x": 1, "y": 3}, "b": 4}
+
+
+def test_make_splits_demo_layout():
+    import os
+    import pytest as _pytest
+
+    if not os.path.isdir("/root/reference/demo_audio"):
+        _pytest.skip("fixtures missing")
+    from probtalk_tpu.cli.make_splits import make_splits
+
+    splits = make_splits("/root/reference/demo_audio",
+                         ["oliver", "chemistry", "seth", "conan"], seed=0)
+    total = sum(len(v) for v in splits.values())
+    assert total >= 4
+    # entries are speaker/clip strings pointing at existing pkls
+    for arr in splits.values():
+        for e in arr:
+            sp, clip = str(e).split("/")
+            assert os.path.exists(
+                f"/root/reference/demo_audio/{sp}/{clip}/{clip}.pkl")
+    # disjoint
+    all_set = [str(x) for v in splits.values() for x in v]
+    assert len(all_set) == len(set(all_set))

@@ -118,3 +118,29 @@ class TestCodeEval:
         ce = evaluate(pipeline.predictor_state, jax.random.key(1), gt,
                       jnp.zeros((2,), jnp.int32), aud)
         assert np.isfinite(float(ce)) and float(ce) > 0
+
+
+class TestAllInOne:
+    def test_forward_type_dispatch(self, pipeline, rng):
+        from probtalk_tpu.ai1 import AllInOneModel
+        from probtalk_tpu.models.face import FaceGenerator
+
+        face = FaceGenerator(hidden=16, jaw_dim=4, expression_dim=8)
+        aud768 = jnp.asarray(rng.normal(size=(1, 10, 768)).astype(np.float32))
+        fv = face.init(jax.random.key(0), aud768, jnp.zeros((1,), jnp.int32))
+
+        ai1 = AllInOneModel(pipeline, face_model=None)
+        aud = rng.normal(size=(10, CA)).astype(np.float32)
+        out = ai1(forward_type="infer_on_audio", aud_feat=aud, speaker=0, B=2)
+        assert out.shape == (2, 10, CM)
+
+        w_aud = jnp.asarray(rng.normal(size=(2, W, CA)).astype(np.float32))
+        ctx = jnp.zeros((2, W, CM), jnp.float32)
+        mask = jnp.zeros((2, W, 1), jnp.float32)
+        out2 = ai1(forward_type="infer_on_batch", aud_feat=w_aud,
+                   gt_poses=ctx, mask=mask, speaker=jnp.zeros((2,), jnp.int32))
+        assert out2.shape == (2, W, CM)
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            ai1(forward_type="nope")
