@@ -28,7 +28,10 @@ def main():
     )
     from probtalk_tpu.train.state import create_train_state, adamw
 
-    cm, ca, t, b = 376, 768, 180, 1
+    # B=16 = the reference eval harness's diversity-sample batch
+    # (scripts/test_holisticbody.py B=16); per-sample latency is ~the same
+    # as B=1 (dispatch-bound, see PERFORMANCE.md)
+    cm, ca, t, b = 376, 768, 180, 16
 
     # real-size stages (randomly initialized — throughput only)
     vq = VQVAE(in_dim=cm, embedding_dim=512, num_codes=128, groups=4,

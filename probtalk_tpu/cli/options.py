@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--only_face", action="store_true")
     p.add_argument("--stand", action="store_true")
     p.add_argument("--whole_body", action="store_true")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="overrides config Train.epochs")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="overrides config DataLoader.batch_size")
     p.add_argument("--num_devices", type=int, default=None,
                    help="mesh size; default all visible devices")
     return p.parse_args(argv)

@@ -14,26 +14,6 @@ import sys
 import numpy as np
 
 
-def build_stage(config, vq_ckpt_state=None):
-    """-> (step_factory_kwargs, model objects) for the configured stage."""
-    import jax
-    from probtalk_tpu.models.vqvae import VQVAE
-    from probtalk_tpu.train import stages as st
-    from probtalk_tpu.train import steps as steps_lib
-
-    m = config.Model
-    name = m.model_name
-    vq_kwargs = dict(
-        in_dim=376,
-        embedding_dim=m.get("code_dim", 128) * m.get("groups", 4),
-        num_codes=m.get("code_num", 128), groups=m.get("groups", 4),
-        hiddens=m.get("hiddens", 1024), res_layers=m.get("res_layers", 2),
-        q_type=m.get("q_type", "pro"),
-    )
-    vq = VQVAE(**vq_kwargs)
-    return name, vq, vq_kwargs
-
-
 def main(argv=None):
     from probtalk_tpu.cli.options import parse_args
     from probtalk_tpu.config import load_config
@@ -54,6 +34,8 @@ def main(argv=None):
         Trainer, Checkpointer, make_train_dir, setup_logging,
     )
 
+    if args.data_root:
+        config = config.replace(Data={"cache_dir": args.data_root})
     cache_dir = config.Data.get("cache_dir", "data/cache")
     clips, mean, std = load_cached_clips(cache_dir)
     window = config.Data.pose.generate_length
@@ -63,10 +45,10 @@ def main(argv=None):
     setup_logging(train_dir)
 
     mesh = make_mesh(data=args.num_devices)
-    bs = config.DataLoader.batch_size
+    bs = args.batch_size or config.DataLoader.batch_size
     lr = config.Train.learning_rate.generator_learning_rate
     tx = adamw(lr, max_grad_norm=config.Train.max_gradient_norm)
-    epochs = config.Train.epochs
+    epochs = args.epochs or config.Train.epochs
     name = config.Model.model_name
 
     m = config.Model

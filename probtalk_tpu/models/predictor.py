@@ -96,6 +96,7 @@ class PredictorNet(nn.Module):
     motion_context: bool = True
     use_audio: bool = True
     use_text: bool = False
+    dtype: object = None   # bf16 compute option for the decoder
 
     def setup(self):
         if self.motion_context:
@@ -106,7 +107,7 @@ class PredictorNet(nn.Module):
             groups=self.groups, condi_dim=condi_dim, dim=512,
             layers=self.dec_layers, num_code=self.num_code,
             n_classes=self.n_classes, identity=self.identity,
-            maskgit=self.maskgit,
+            maskgit=self.maskgit, dtype=self.dtype,
         )
 
     def _condition(self, masked_motion, mask, audio, text):

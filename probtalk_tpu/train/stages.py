@@ -68,6 +68,7 @@ class PredictorStage(nn.Module):
     identity: bool = True
     aud_dim: int = 768
     text_dim: int = 768
+    dtype: object = None   # bf16 compute option
 
     def setup(self):
         if self.use_audio:
@@ -80,6 +81,7 @@ class PredictorStage(nn.Module):
             identity=self.identity, maskgit=self.maskgit,
             maskgit_T=self.maskgit_T, motion_context=self.motion_context,
             use_audio=self.use_audio, use_text=self.use_text,
+            dtype=self.dtype,
         )
 
     def _encode_conditions(self, aud, text, train):
@@ -187,8 +189,6 @@ def make_predictor_code_eval_fn(stage: PredictorStage, vq_model, vq_variables,
         mask = jnp.zeros_like(gt_poses[..., :1])
         logits = stage.apply(variables, gt_poses * mask, masked, mask, speaker,
                              aud, text, 1.0, train=False)
-        from probtalk_tpu.train import losses as L
-
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
         ce = jnp.sum(nll * code_mask) / jnp.clip(jnp.sum(code_mask), 1)
@@ -210,11 +210,13 @@ class RefinerStage(nn.Module):
     n_classes: int = 4
     layers: int = 6
     motion_context: bool = True
+    dtype: object = None   # bf16 compute option
 
     def setup(self):
         self.net = RTransformer(
             in_dim=self.in_dim, condi_dim=self.aud_dim, layers=self.layers,
             n_classes=self.n_classes, motion_context=self.motion_context,
+            dtype=self.dtype,
         )
 
     def __call__(self, x, aud, mask, label, train: bool = False):
