@@ -301,3 +301,40 @@ def convert_refiner_stage(gen: dict, layers: int = 6) -> dict:
     rt = convert_rtransformer(gen[key], layers=layers)
     return {"params": {"net": rt["params"]},
             "batch_stats": ({"net": rt["batch_stats"]} if rt["batch_stats"] else {})}
+
+
+# ---------------------------------------------------------------------------
+# legacy TalkSHOW VQVAE (s2g_body_vq)
+# ---------------------------------------------------------------------------
+
+def convert_legacy_vqvae(sd: dict, res_layers: int = 2) -> dict:
+    """Reference ``nets/spg/vqvae_1d.VQVAE`` (single-codebook, T/4) ->
+    ``probtalk_tpu.models.legacy.LegacyVQVAE`` variables."""
+    from probtalk_tpu.quant.pq import PQState
+
+    t = _Tree()
+    t.cnr(sd, "encoder.project", "encoder/project")
+    for i in (1, 2, 3):
+        t.res_stack(sd, f"encoder._enc_{i}", f"encoder/enc_{i}", res_layers)
+    for i in (1, 2):
+        t.cnr(sd, f"encoder._down_{i}", f"encoder/down_{i}", residual=True)
+    t.conv(sd, "encoder.pre_vq_conv", "encoder/pre_vq_conv")
+
+    t.conv(sd, "decoder.aft_vq_conv", "decoder/aft_vq_conv")
+    for i in (1, 2, 3):
+        t.res_stack(sd, f"decoder._dec_{i}", f"decoder/dec_{i}", res_layers)
+    for i in (2, 3):
+        t.cnr(sd, f"decoder._up_{i}", f"decoder/up_{i}", residual=True,
+              transpose=True)
+    t.conv(sd, "decoder.project", "decoder/project")
+
+    emb = _np(sd["vq_layer.embeddings"])[None]          # (1, K, E)
+    ema_dw = _np(sd["vq_layer.ema_dw.hidden"])[None] \
+        if "vq_layer.ema_dw.hidden" in sd else np.zeros_like(emb)
+    counts = _np(sd["vq_layer.ema_cluster_size.hidden"])[None] \
+        if "vq_layer.ema_cluster_size.hidden" in sd else \
+        np.zeros(emb.shape[:2], np.float32)
+    quant = PQState(jnp.asarray(emb), jnp.asarray(counts), jnp.asarray(ema_dw),
+                    jnp.asarray(100000, jnp.int32))
+    return {"params": t.params, "batch_stats": t.batch_stats,
+            "quant": {"vq": quant}}

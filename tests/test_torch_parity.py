@@ -121,3 +121,29 @@ class TestRotationParity:
         back = t_m2aa(t_m).numpy()
         np.testing.assert_allclose(np.asarray(rot.matrix_to_axis_angle(t_m.numpy())),
                                    back, atol=1e-4)
+
+
+class TestLegacyVQVAEParity:
+    def test_forward_and_codes(self, torch_mod, rng):
+        torch = torch_mod
+        import jax.numpy as jnp
+        VQVAE_T4 = ref_import("nets.spg.vqvae_1d").VQVAE
+        from probtalk_tpu.models.legacy import LegacyVQVAE
+        from probtalk_tpu.convert.torch_checkpoint import convert_legacy_vqvae
+
+        tm = VQVAE_T4(30, 64, 16, 64, 2, 32)
+        tm.eval()
+        variables = convert_legacy_vqvae(tm.state_dict())
+        jm = LegacyVQVAE(in_dim=30, embedding_dim=64, num_codes=16, hiddens=64,
+                         res_layers=2)
+
+        x = rng.normal(size=(2, 30, 16)).astype(np.float32)  # torch (B, C, T)
+        with torch.no_grad():
+            _, t_out = tm(gt_poses=torch.from_numpy(x))
+            _, t_idx = tm.encode(torch.from_numpy(x))
+        j_out, _, j_idx = jm.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                                   train=False)
+        np.testing.assert_allclose(np.asarray(j_out).transpose(0, 2, 1),
+                                   t_out.numpy(), atol=2e-4, rtol=1e-3)
+        agree = np.mean(np.asarray(j_idx).reshape(-1) == t_idx.numpy().reshape(-1))
+        assert agree > 0.99, agree
