@@ -143,8 +143,8 @@ def main():
     from probtalk_tpu.cli.test_holistic import unfold_windows, run_harness
     from probtalk_tpu.core import body_parts
 
-    emb = EmbeddingNet(pose_dim=376, n_frames=90)
     jaw_d = body_parts.each_dim(True)[0]
+    exp_d = body_parts.each_dim(True)[3]
     cidx = body_parts.c_index(True)
     gt_windows = []
     for clip in clips:
@@ -155,21 +155,41 @@ def main():
         gt_windows.append(unfold_windows(fbhe, 90, 30))
     gt_windows = np.concatenate(gt_windows).astype(np.float32)
     log(f"{len(gt_windows)} embedder windows")
-    w0 = jnp.zeros((BS, 90, 376), jnp.float32)
-    emb_state = create_train_state(emb, (w0,), jax.random.key(4), adamw(1e-4),
-                                   init_kwargs={"train": True})
-    estep = make_embedder_train_step(emb, donate=False)
-    erng = np.random.default_rng(0)
-    for i in range(STEPS_EMB):
-        key, k = jax.random.split(key)
-        sel = erng.integers(0, len(gt_windows), BS)
-        emb_state, m = estep(emb_state, {"windows": jnp.asarray(gt_windows[sel])}, k)
-        if i in (0, STEPS_EMB - 1):
-            log(f"embedder step {i}: loss {float(m['loss']):.4f}")
-    emb_vars = {"params": emb_state.params, **emb_state.mutables}
 
-    def extract(w):
-        return np.asarray(emb.apply(emb_vars, jnp.asarray(w), method=emb.extract))
+    # three embedders: face ('fe': jaw+expression), body ('bh'), full ('fbhe')
+    # — the reference's val_face/val_body/val trio (test_holisticbody.py:397-403)
+    def part_slice(which, w):
+        if which == "fe":
+            return np.concatenate([w[..., :jaw_d], w[..., -exp_d:]], -1)
+        if which == "bh":
+            return w[..., jaw_d:-exp_d]
+        return w
+
+    extract_fns = {}
+    for which in ("fe", "bh", "fbhe"):
+        wins = part_slice(which, gt_windows)
+        emb = EmbeddingNet(pose_dim=wins.shape[-1], n_frames=90)
+        w0 = jnp.zeros((BS, 90, wins.shape[-1]), jnp.float32)
+        emb_state = create_train_state(emb, (w0,), jax.random.key(4),
+                                       adamw(1e-4), init_kwargs={"train": True})
+        estep = make_embedder_train_step(emb, donate=False)
+        erng = np.random.default_rng(0)
+        for i in range(STEPS_EMB):
+            key, k = jax.random.split(key)
+            sel = erng.integers(0, len(wins), BS)
+            emb_state, m = estep(emb_state, {"windows": jnp.asarray(wins[sel])}, k)
+            if i == STEPS_EMB - 1:
+                log(f"embedder[{which}] final loss {float(m['loss']):.4f}")
+        emb_vars = {"params": emb_state.params, **emb_state.mutables}
+
+        def make_extract(emb=emb, emb_vars=emb_vars, which=which):
+            def extract(w):
+                return np.asarray(emb.apply(emb_vars,
+                                            jnp.asarray(part_slice(which, w)),
+                                            method=emb.extract))
+            return extract
+
+        extract_fns[which] = make_extract()
 
     # ---------------- harness ----------------
     from probtalk_tpu.pipeline import HolisticPipeline
@@ -177,7 +197,7 @@ def main():
 
     pipe = HolisticPipeline(vq, vq_vars, pred, pred_state, ref, ref_state,
                             window=WINDOW, overlap=26)
-    evaluator = FGDEvaluator({"fbhe": extract})
+    evaluator = FGDEvaluator(extract_fns)
     results = run_harness(pipe, clips, mean, std, evaluator=evaluator, B=4)
     results["vq_capacity_l1"] = capacity
     results["steps"] = {"vq": STEPS_VQ, "pred": STEPS_PRED, "ref": STEPS_REF,
