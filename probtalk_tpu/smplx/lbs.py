@@ -34,6 +34,29 @@ from probtalk_tpu.core.rotation import axis_angle_to_matrix
 NUM_JOINTS = 55          # pelvis + 21 body + jaw + 2 eyes + 30 hand joints
 NUM_BODY_JOINTS = 21
 
+# Canonical SMPL-X surface-keypoint vertex ids (the public `vertex_ids`
+# table of the smplx package), in the order the package's
+# VertexJointSelector appends them after the 55 skeleton joints:
+# [nose, reye, leye, rear, lear | L/R big toe, small toe, heel | left
+# thumb/index/middle/ring/pinky tips | right tips]. With the 51 facial
+# landmarks regressed from the model npz's lmk tables this reproduces the
+# 127-joint layout every index-based metric of the reference assumes
+# (scripts/test_holisticbody.py:76,113: jaw=22, body=0..21, face=74:127).
+SELECTOR_VERTEX_IDS = np.array(
+    [9120, 9929, 9448, 616, 6,
+     5770, 5780, 8846, 8463, 8474, 8635,
+     5361, 4933, 5058, 5169, 5286,
+     8079, 7669, 7794, 7905, 8022],
+    np.int32,
+)
+SMPLX_NUM_VERTS = 10475
+
+# joint-index groups used by the evaluation harness (reference
+# test_holisticbody.py:76,113)
+BODY_JOINT_IND = np.arange(0, 22)
+FULL_JOINT_IND = np.concatenate([np.arange(0, 22), np.arange(23, 74)])
+FACE_JOINT_IND = np.concatenate([np.arange(22, 23), np.arange(74, 127)])
+
 
 class SmplxModel(NamedTuple):
     """Static SMPL-X model tensors (device constants under jit)."""
@@ -66,20 +89,50 @@ def load_smplx(npz_path: str, extra_joints_yaml: Optional[str] = None,
     posedirs = np.asarray(data["posedirs"], np.float32)
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # ((J-1)*9, V*3)
 
-    extra_faces = np.zeros((0, 3), np.int32)
-    extra_bc = np.zeros((0, 3), np.float32)
+    # Extra joints appended after the 55 skeleton joints, each expressed as
+    # a barycentric combination of one triangle's vertices. Assembled in
+    # the reference's joint order: [21 surface keypoints | 51 facial
+    # landmarks | extra-joints-yaml entries], so harness joint indices
+    # (jaw=22, face=74:127) line up with scripts/test_holisticbody.py.
+    faces_arr = np.asarray(data["f"], np.int64)
+    ef_list, ebc_list = [], []
+
+    sel_ids = None
+    if "selector_vertex_ids" in data:           # synthetic fixtures
+        sel_ids = np.asarray(data["selector_vertex_ids"], np.int64)
+    elif data["v_template"].shape[0] == SMPLX_NUM_VERTS:
+        sel_ids = SELECTOR_VERTEX_IDS.astype(np.int64)
+    if sel_ids is not None:
+        # a plain vertex pick is a degenerate barycentric (v, v, v)@(1,0,0)
+        ef_list.append(np.stack([sel_ids] * 3, axis=1))
+        bc = np.zeros((len(sel_ids), 3), np.float32)
+        bc[:, 0] = 1.0
+        ebc_list.append(bc)
+
+    if "lmk_faces_idx" in data:                 # 51 facial landmarks
+        lmk_faces = np.asarray(data["lmk_faces_idx"], np.int64).reshape(-1)
+        ef_list.append(faces_arr[lmk_faces])
+        ebc_list.append(np.asarray(data["lmk_bary_coords"],
+                                   np.float32).reshape(-1, 3))
+
     if extra_joints_yaml is not None:
         import yaml
 
         with open(extra_joints_yaml) as f:
             table = yaml.safe_load(f)
-        faces_arr = np.asarray(data["f"], np.int64)
-        ef, ebc = [], []
-        for name in sorted(table):
-            ef.append(faces_arr[int(table[name]["face"])])
-            ebc.append(np.asarray(table[name]["bc"], np.float32))
-        extra_faces = np.stack(ef).astype(np.int32)
-        extra_bc = np.stack(ebc)
+        # file order (TalkSHOW's JointsFromVerticesSelector reads the yaml
+        # in insertion order; these land past index 126, unused by metrics)
+        for name in table:
+            ef_list.append(faces_arr[int(table[name]["face"])][None])
+            ebc_list.append(np.asarray(table[name]["bc"],
+                                       np.float32).reshape(1, 3))
+
+    if ef_list:
+        extra_faces = np.concatenate(ef_list).astype(np.int32)
+        extra_bc = np.concatenate(ebc_list).astype(np.float32)
+    else:
+        extra_faces = np.zeros((0, 3), np.int32)
+        extra_bc = np.zeros((0, 3), np.float32)
 
     return SmplxModel(
         v_template=jnp.asarray(data["v_template"], jnp.float32),
