@@ -1,17 +1,22 @@
-"""Benchmark: end-to-end audio->motion throughput of the full ProbTalk
-pipeline (MaskGit predictor T=8 + PQ decode + refiner) on one chip.
+"""Benchmark: TRUE end-to-end audio->motion throughput on one chip.
+
+The measured program is the complete serving path, all on device in one
+jit region per stage: raw 16 kHz waveform -> Wav2Vec2-base acoustic
+encoder (50->30 fps patch) -> MaskGit predictor (T=8) -> PQ decode ->
+refiner -> denormalize -> 6d->axis-angle -> lower-body splice. That is a
+STRICT superset of the quantity the reference measures (its
+`fps = total_frame / total_time`, scripts/test_holisticbody.py:369, times
+only the generator with audio features precomputed).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-The reference publishes no absolute numbers (BASELINE.md); its measured
-quantity is `fps = total_frame / total_time` (scripts/test_holisticbody.py:369).
-The north star is >50x real-time per chip at 30 fps motion = 1500 frames/s;
-vs_baseline is reported against that bar.
+The reference publishes no absolute numbers (BASELINE.md); the north star
+is >50x real-time per chip at 30 fps motion = 1500 frames/s.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from probtalk_tpu.audio.wav2vec2 import Wav2Vec2Encoder
+    from probtalk_tpu.core import body_parts, normalize
+    from probtalk_tpu.core.rotation import d6_to_aa_flat
     from probtalk_tpu.models.vqvae import VQVAE
     from probtalk_tpu.train.stages import (
         PredictorStage, RefinerStage, make_predictor_infer_fn,
@@ -32,8 +40,14 @@ def main():
     # (scripts/test_holisticbody.py B=16); per-sample latency is ~the same
     # as B=1 (dispatch-bound, see PERFORMANCE.md)
     cm, ca, t, b = 376, 768, 180, 16
+    sr = 16000
+    wav_len = t * sr // 30                      # 6 s of 16 kHz audio
 
     # real-size stages (randomly initialized — throughput only)
+    w2v = Wav2Vec2Encoder()
+    w2v_vars = w2v.init(jax.random.key(9),
+                        jnp.zeros((1, sr), jnp.float32), n_frames=30)
+
     vq = VQVAE(in_dim=cm, embedding_dim=512, num_codes=128, groups=4,
                hiddens=1024, res_layers=2)
     x = jnp.zeros((b, t, cm), jnp.float32)
@@ -65,21 +79,48 @@ def main():
     predict = make_predictor_infer_fn(pred_stage, vq, vq_vars)
     refine = make_refiner_infer_fn(ref_stage)
 
-    def full(key, aud):
-        prelim, codes = predict(pred_state, key, x, mask, spk, aud)
-        return refine(ref_state, prelim, aud, mask, spk)
+    stats_path = os.environ.get(
+        "PROBTALK_NORM_STATS", "/root/reference/data_utils/norm_stats.npy")
+    if os.path.exists(stats_path):
+        from probtalk_tpu.data.preprocess import load_norm_stats
+
+        mean, std = load_norm_stats(stats_path)
+    else:
+        mean, std = np.zeros(430, np.float32), np.ones(430, np.float32)
+    mean, std = jnp.asarray(mean), jnp.asarray(std)
+    cidx = body_parts.c_index(True)
+    jaw_d = body_parts.each_dim(True)[0]
+
+    @jax.jit
+    def frontend(w2v_vars, wav):
+        return w2v.apply(w2v_vars, wav, n_frames=t)
+
+    @jax.jit
+    def postprocess(refined):
+        den = normalize.denormalize(refined, mean, std, shape="fbhe", idx=cidx)
+        d6 = den[..., : jaw_d + 270]
+        aa = d6_to_aa_flat(d6.reshape(-1, 276)).reshape(b, t, 138)
+        fullp = body_parts.part2full(aa)
+        return jnp.concatenate([fullp, den[..., -100:]], axis=-1)
+
+    def full(key, wav):
+        feats = frontend(w2v_vars, wav)                     # (B, T, 768)
+        prelim, codes = predict(pred_state, key, x, mask, spk, feats)
+        refined = refine(ref_state, prelim, feats, mask, spk)
+        return postprocess(refined)                         # (B, T, 265)
 
     rng = np.random.default_rng(0)
-    aud_np = jnp.asarray(rng.normal(size=(b, t, ca)).astype(np.float32))
+    wav_np = jnp.asarray(0.1 * rng.normal(size=(b, wav_len)).astype(np.float32))
 
     # warmup / compile
-    out = full(jax.random.key(0), aud_np)
+    out = full(jax.random.key(0), wav_np)
     jax.block_until_ready(out)
+    assert out.shape == (b, t, 265), out.shape
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        out = full(jax.random.key(i), aud_np)
+        out = full(jax.random.key(i), wav_np)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

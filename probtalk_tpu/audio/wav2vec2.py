@@ -41,8 +41,8 @@ class FeatureExtractor(nn.Module):
             h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
                         name=f"conv_{i}")(h)
             if i == 0:
-                h = nn.GroupNorm(num_groups=dim, name="gn_0")(h)
-            h = nn.gelu(h)
+                h = nn.GroupNorm(num_groups=dim, epsilon=1e-5, name="gn_0")(h)
+            h = nn.gelu(h, approximate=False)   # HF uses exact (erf) GELU
         return h
 
 
@@ -59,12 +59,12 @@ class TransformerLayer(nn.Module):
             num_heads=self.heads, qkv_features=self.dim, dropout_rate=self.dropout,
             deterministic=det, force_fp32_for_softmax=True, name="attn")(x, x)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
-        x = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=jnp.float32)(x + h)
         h = nn.Dense(self.ffn, name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="fc2")(h)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
-        return nn.LayerNorm(name="norm2", dtype=jnp.float32)(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=jnp.float32)(x + h)
 
 
 class Wav2Vec2Encoder(nn.Module):
@@ -83,14 +83,20 @@ class Wav2Vec2Encoder(nn.Module):
         """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
         S/16000*30). None keeps the native 50 fps."""
         feat = FeatureExtractor(name="feature_extractor")(waveform)
-        feat = nn.LayerNorm(name="feat_norm", dtype=jnp.float32)(feat)
-        feat = nn.Dense(self.dim, name="feat_proj")(feat)
 
         # 50 fps -> motion fps alignment (the reference's core patch,
-        # nets/spg/wav2vec.py:101: interpolate BEFORE the encoder)
+        # nets/spg/wav2vec.py:98-101: interpolate BETWEEN the feature
+        # extractor and the feature projection). jax linear resize uses
+        # half-pixel centers == torch align_corners=False.
         if n_frames is not None and n_frames != feat.shape[1]:
             b, t, c = feat.shape
-            feat = jax.image.resize(feat, (b, n_frames, c), method="linear")
+            # antialias=False: torch F.interpolate(mode='linear') samples
+            # half-pixel centers with NO lowpass on downsample
+            feat = jax.image.resize(feat, (b, n_frames, c), method="linear",
+                                    antialias=False)
+
+        feat = nn.LayerNorm(epsilon=1e-5, name="feat_norm", dtype=jnp.float32)(feat)
+        feat = nn.Dense(self.dim, name="feat_proj")(feat)
 
         # grouped conv positional embedding
         pos = nn.Conv(self.dim, (self.conv_pos_kernel,),
@@ -100,8 +106,8 @@ class Wav2Vec2Encoder(nn.Module):
                       name="pos_conv")(feat)
         if self.conv_pos_kernel % 2 == 0:
             pos = pos[:, :-1]
-        h = feat + nn.gelu(pos)
-        h = nn.LayerNorm(name="enc_norm", dtype=jnp.float32)(h)
+        h = feat + nn.gelu(pos, approximate=False)
+        h = nn.LayerNorm(epsilon=1e-5, name="enc_norm", dtype=jnp.float32)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         for i in range(self.layers):
             h = TransformerLayer(self.dim, self.heads, name=f"layer_{i}")(h, train)
@@ -144,13 +150,20 @@ def convert_hf_wav2vec2(hf_state_dict: dict) -> dict:
     put("feat_proj/kernel", sd["feature_projection.projection.weight"].T)
     put("feat_proj/bias", sd["feature_projection.projection.bias"])
 
-    w = sd["encoder.pos_conv_embed.conv.weight"]  # may be weight-normed
-    if "encoder.pos_conv_embed.conv.weight_g" in sd:
-        g = sd["encoder.pos_conv_embed.conv.weight_g"]
-        v = sd["encoder.pos_conv_embed.conv.weight_v"]
+    # pos conv may be stored weight-normed: legacy (weight_g/weight_v) or
+    # torch>=2.1 parametrizations (original0/original1)
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in sd:
+        g, v = sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"]
         w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
+    elif f"{pc}.parametrizations.weight.original0" in sd:
+        g = sd[f"{pc}.parametrizations.weight.original0"]
+        v = sd[f"{pc}.parametrizations.weight.original1"]
+        w = g * v / np.linalg.norm(v, axis=(0, 1), keepdims=True)
+    else:
+        w = sd[f"{pc}.weight"]
     put("pos_conv/kernel", w.transpose(2, 1, 0))
-    put("pos_conv/bias", sd["encoder.pos_conv_embed.conv.bias"])
+    put("pos_conv/bias", sd[f"{pc}.bias"])
     put("enc_norm/scale", sd["encoder.layer_norm.weight"])
     put("enc_norm/bias", sd["encoder.layer_norm.bias"])
 
@@ -179,3 +192,24 @@ def convert_hf_wav2vec2(hf_state_dict: dict) -> dict:
         put(f"layer_{i}/norm2/scale", sd[f"{base}.final_layer_norm.weight"])
         put(f"layer_{i}/norm2/bias", sd[f"{base}.final_layer_norm.bias"])
     return {"params": p}
+
+
+def make_wav2vec_feature_fn(variables=None, fps: float = 30.0,
+                            sr: int = 16000, seed: int = 0, **model_kw):
+    """-> fn(wav (S,)) -> (n_frames, 768) features at motion fps — the
+    plug-in for ``preprocess_clip(audio_feat='wav2vec', wav2vec_fn=...)``
+    (reference frontend: data_utils/utils.py:145 with encoder_choice
+    'wav2vec'). Pass ``variables`` converted from a HF checkpoint via
+    ``convert_hf_wav2vec2``; random init otherwise."""
+    model = Wav2Vec2Encoder(**model_kw)
+    if variables is None:
+        variables = model.init(jax.random.key(seed),
+                               jnp.zeros((1, sr), jnp.float32), n_frames=30)
+
+    def feature_fn(wav: np.ndarray) -> np.ndarray:
+        n = max(int(len(wav) / sr * fps), 1)
+        out = model.apply(variables, jnp.asarray(wav, jnp.float32)[None],
+                          n_frames=n)
+        return np.asarray(out[0])
+
+    return feature_fn

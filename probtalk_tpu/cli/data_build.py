@@ -78,6 +78,7 @@ def load_cached_clips(cache_dir: str):
             np.zeros((z["poses"].shape[0], 64), np.float32),
             betas=z["betas"], speaker=int(z["speaker"]) if "speaker" in z else 0,
             name=fn[:-4],
+            onset_times=z["onset_times"] if "onset_times" in z else None,
         ))
     stats = np.load(os.path.join(cache_dir, "norm_stats.npz"))
     return clips, stats["mean"], stats["std"]

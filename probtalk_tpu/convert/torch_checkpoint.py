@@ -48,6 +48,13 @@ class _Tree:
         if f"{src}.bias" in sd:
             self._put(self.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
 
+    def conv2d(self, sd, src, dst):
+        # torch (O, I, KH, KW) -> flax (KH, KW, I, O)
+        self._put(self.params, f"{dst}/kernel",
+                  _np(sd[f"{src}.weight"]).transpose(2, 3, 1, 0))
+        if f"{src}.bias" in sd:
+            self._put(self.params, f"{dst}/bias", _np(sd[f"{src}.bias"]))
+
     def conv_t(self, sd, src, dst):
         # torch ConvTranspose1d (Cin, Cout, K); flax ConvTranspose kernel
         # (K, Cin, Cout) applied UNflipped on the dilated input, while torch
@@ -338,3 +345,165 @@ def convert_legacy_vqvae(sd: dict, res_layers: int = 2) -> dict:
                     jnp.asarray(100000, jnp.int32))
     return {"params": t.params, "batch_stats": t.batch_stats,
             "quant": {"vq": quant}}
+
+
+# ---------------------------------------------------------------------------
+# baseline families (Speech2Gesture / LS3DCG / Audio2Gestures)
+# ---------------------------------------------------------------------------
+
+def _tfcnr(t: _Tree, sd, src, dst, two_d: bool = False):
+    """reference speech2gesture.ConvNormRelu Sequential(conv, bn, lrelu)."""
+    (t.conv2d if two_d else t.conv)(sd, f"{src}.0", f"{dst}/conv")
+    t.bn(sd, f"{src}.1", f"{dst}/norm")
+
+
+def convert_speech2gesture_g(sd: dict) -> dict:
+    """``nets/speech2gesture.Generator`` (use_template=False) ->
+    ``models.legacy.s2g_exact.S2GGenerator`` variables."""
+    t = _Tree()
+    for i in range(8):
+        _tfcnr(t, sd, f"audio_encoder.first_net.{i}",
+               f"audio_encoder/first_{i}", two_d=True)
+    _tfcnr(t, sd, "audio_encoder.down1.0", "audio_encoder/down1_0")
+    _tfcnr(t, sd, "audio_encoder.down1.1", "audio_encoder/down1_1")
+    for i in range(2, 7):
+        _tfcnr(t, sd, f"audio_encoder.down{i}", f"audio_encoder/down{i}")
+    for i in range(1, 6):
+        _tfcnr(t, sd, f"audio_encoder.up{i}.conv", f"audio_encoder/up{i}")
+    t.linear(sd, "pre_pose_encoder.0", "pre_fc0")
+    t.bn(sd, "pre_pose_encoder.1", "pre_bn")
+    t.linear(sd, "pre_pose_encoder.3", "pre_fc1")
+    for i in range(4):
+        _tfcnr(t, sd, f"decoder.{i}", f"dec_{i}")
+    t.conv(sd, "final_out", "final_out")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def convert_speech2gesture_d(sd: dict) -> dict:
+    """``nets/speech2gesture.Discriminator`` ->
+    ``models.legacy.s2g_exact.S2GDiscriminator`` variables."""
+    t = _Tree()
+    t.conv(sd, "net.0", "c0")
+    _tfcnr(t, sd, "net.2", "c1")
+    _tfcnr(t, sd, "net.3", "c2")
+    t.conv(sd, "net.4", "out")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def convert_ls3dcg_g(sd: dict) -> dict:
+    """``nets/LS3DCG.Generator`` ->
+    ``models.legacy.s2g_exact.LS3DCGGenerator`` variables."""
+    t = _Tree()
+    for i in range(1, 5):
+        for j in range(2):
+            _tfcnr(t, sd, f"encoderdecoder.down{i}.{j}", f"down{i}_{j}")
+    for head in ("face", "body", "hand"):
+        src = f"encoderdecoder.{head}_decoder"
+        dst = f"{head}_decoder"
+        for u in (1, 2, 3):
+            for j in range(2):
+                _tfcnr(t, sd, f"{src}.up{u}.{j}", f"{dst}/up{u}_{j}")
+        t.conv(sd, f"{src}.up3.2", f"{dst}/up3_out")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def convert_ls3dcg_d(sd: dict) -> dict:
+    """``nets/LS3DCG.Discriminator`` -> LS3DCGDiscriminator variables."""
+    t = _Tree()
+    for src_i, dst in ((0, "c0"), (1, "c1"), (3, "c2"), (4, "c3"),
+                       (6, "c4"), (7, "c5")):
+        _tfcnr(t, sd, f"net.{src_i}", dst)
+    t.conv(sd, "net.9", "out")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def _tcn(t: _Tree, sd, src, dst, levels: int):
+    """reference nets/module.ConvNet -> a2g_exact.TCN."""
+    for i in range(levels):
+        base = f"{src}.network.{i}"
+        t.conv(sd, f"{base}.conv1", f"{dst}/block_{i}/conv1")
+        t.conv(sd, f"{base}.conv2", f"{dst}/block_{i}/conv2")
+        if f"{base}.downsample.weight" in sd:
+            t.conv(sd, f"{base}.downsample", f"{dst}/block_{i}/downsample")
+
+
+def _mlp2(t: _Tree, sd, src, dst):
+    """Sequential(Linear, ReLU, Linear) head."""
+    t.linear(sd, f"{src}.0", f"{dst}_0")
+    t.linear(sd, f"{src}.2", f"{dst}_1")
+
+
+def convert_audio2gestures(sd: dict) -> dict:
+    """``nets/Audio2Gestures.Generator.net_G`` state dict (keys
+    audio_enc./motion_enc./motion_dec./mapping_net.) ->
+    ``models.legacy.a2g_exact.A2GGenerator`` variables. Also accepts the
+    per-module state dicts with an explicit prefix."""
+    t = _Tree()
+    _tcn(t, sd, "audio_enc.TCN", "audio_enc/tcn", 5)
+    _mlp2(t, sd, "audio_enc.share_mean", "audio_enc/share_mean")
+    if "audio_enc.share_var.0.weight" in sd:
+        _mlp2(t, sd, "audio_enc.share_var", "audio_enc/share_var")
+
+    _tcn(t, sd, "motion_enc.TCN", "motion_enc/tcn", 5)
+    t.linear(sd, "motion_enc.share_linear", "motion_enc/share_linear")
+    t.linear(sd, "motion_enc.spec_linear", "motion_enc/spec_linear")
+    _mlp2(t, sd, "motion_enc.share_mean", "motion_enc/share_mean")
+    _mlp2(t, sd, "motion_enc.spec_mean", "motion_enc/spec_mean")
+    if "motion_enc.share_var.0.weight" in sd:
+        _mlp2(t, sd, "motion_enc.share_var", "motion_enc/share_var")
+        _mlp2(t, sd, "motion_enc.spec_var", "motion_enc/spec_var")
+
+    _tcn(t, sd, "motion_dec.TCN", "motion_dec/tcn", 5)
+    _mlp2(t, sd, "motion_dec.pose_g", "motion_dec/pose_g")
+
+    for i, j in ((0, 0), (1, 2), (2, 4)):
+        t.conv(sd, f"mapping_net.net.{j}", f"mapping_net/net_{i}")
+    _mlp2(t, sd, "mapping_net.spec_mean", "mapping_net/spec_mean")
+    if "mapping_net.spec_var.0.weight" in sd:
+        _mlp2(t, sd, "mapping_net.spec_var", "mapping_net/spec_var")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# GatedPixelCNN-1D predictor decoder
+# ---------------------------------------------------------------------------
+
+def convert_pixel_decoder(sd: dict, layers: int = 10) -> dict:
+    """``nets/inpainting/gated_pixelcnn_1d.GatedPixelCNN`` (groups>1) ->
+    ``models.pixel_decoder.GatedPixelCNN1D`` variables.
+
+    Mask-A kernels: the torch module zeroes the causal taps in-place at
+    forward time (make_causal); our flax blocks use smaller kernels with
+    asymmetric padding, so the zeroed taps are sliced off here."""
+    t = _Tree()
+    for name in ("fusion", "fusion2", "fusion3"):
+        t.linear(sd, f"{name}.0", f"{name}/fc")
+        t._put(t.params, f"{name}/ln/scale", _np(sd[f"{name}.1.weight"]))
+        t._put(t.params, f"{name}/ln/bias", _np(sd[f"{name}.1.bias"]))
+    t._put(t.params, "state_embedding/embedding",
+           _np(sd["state_embedding.weight"]))
+    for i in range(layers):
+        src = f"ar.{i}"
+        dst = f"ar_{i}"
+        t._put(t.params, f"{dst}/class_cond/embedding",
+               _np(sd[f"{src}.class_cond_embedding.weight"]))
+        vw = _np(sd[f"{src}.vert_stack.weight"])     # (2d, d, kh, 3)
+        vb = _np(sd[f"{src}.vert_stack.bias"])
+        hw = _np(sd[f"{src}.horiz_stack.weight"])    # (2d, d, 1, 2)
+        hb = _np(sd[f"{src}.horiz_stack.bias"])
+        if i == 0:                                   # mask-A: drop zeroed taps
+            vw = vw[:, :, :-1]
+            hw = hw[:, :, :, :1]
+        t._put(t.params, f"{dst}/vert_stack/kernel", vw.transpose(2, 3, 1, 0))
+        t._put(t.params, f"{dst}/vert_stack/bias", vb)
+        t._put(t.params, f"{dst}/horiz_stack/kernel", hw.transpose(2, 3, 1, 0))
+        t._put(t.params, f"{dst}/horiz_stack/bias", hb)
+        t.conv2d(sd, f"{src}.vert_to_horiz", f"{dst}/vert_to_horiz")
+        t.conv2d(sd, f"{src}.horiz_resid", f"{dst}/horiz_resid")
+    w0 = _np(sd["output_conv.0.weight"])[:, :, 0, 0]
+    t._put(t.params, "out_hidden/kernel", w0.T)
+    t._put(t.params, "out_hidden/bias", _np(sd["output_conv.0.bias"]))
+    w2 = _np(sd["output_conv.2.weight"])[:, :, 0, 0]
+    t._put(t.params, "out_proj/kernel", w2.T)
+    t._put(t.params, "out_proj/bias", _np(sd["output_conv.2.bias"]))
+    return {"params": t.params}

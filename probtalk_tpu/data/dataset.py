@@ -32,6 +32,7 @@ class ClipData:
     speaker: int = 0
     name: str = ""
     text_feat: Optional[np.ndarray] = None
+    onset_times: Optional[np.ndarray] = None   # audio onsets (s), for BC
 
 
 @dataclass

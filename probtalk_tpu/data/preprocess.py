@@ -155,6 +155,10 @@ def preprocess_clip(
         else:
             raise ValueError(audio_feat)
         out["aud_feat"] = audio_lib.interp_features_to_fps(feat, t)
+        # onset times (seconds) for beat-consistency eval — the reference
+        # computes these per clip at eval time (test_holisticbody.py:319)
+        out["onset_times"] = np.asarray(
+            audio_lib.onset_times(wav, sr=audio_sr), np.float32)
     return out
 
 

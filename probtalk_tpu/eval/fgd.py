@@ -46,7 +46,7 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray,
     s1 = np.cov(feats_a, rowvar=False)
     s2 = np.cov(feats_b, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
+    covmean = linalg.sqrtm(s1.dot(s2))
     if not np.isfinite(covmean).all():
         offset = np.eye(s1.shape[0]) * eps
         covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))

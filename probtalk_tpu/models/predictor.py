@@ -96,6 +96,7 @@ class PredictorNet(nn.Module):
     motion_context: bool = True
     use_audio: bool = True
     use_text: bool = False
+    decoder_type: str = "transformer"   # 'transformer' | 'pixel'
     dtype: object = None   # bf16 compute option for the decoder
 
     def setup(self):
@@ -103,12 +104,22 @@ class PredictorNet(nn.Module):
             self.motion_enc = MotionContextEncoder(self.dim, self.enc_layers)
         condi_dim = (self.dim if self.motion_context else 0)
         condi_dim += 256 * int(self.use_audio) + 256 * int(self.use_text)
-        self.decoder = PTransformer(
-            groups=self.groups, condi_dim=condi_dim, dim=512,
-            layers=self.dec_layers, num_code=self.num_code,
-            n_classes=self.n_classes, identity=self.identity,
-            maskgit=self.maskgit, dtype=self.dtype,
-        )
+        if self.decoder_type == "pixel":
+            # the reference's alternative decoder (predictornet.py:56-58)
+            from probtalk_tpu.models.pixel_decoder import GatedPixelCNN1D
+
+            self.decoder = GatedPixelCNN1D(
+                groups=self.groups, condi_dim=condi_dim, dim=512,
+                layers=self.enc_layers, num_code=self.num_code,
+                n_classes=self.n_classes,
+            )
+        else:
+            self.decoder = PTransformer(
+                groups=self.groups, condi_dim=condi_dim, dim=512,
+                layers=self.dec_layers, num_code=self.num_code,
+                n_classes=self.n_classes, identity=self.identity,
+                maskgit=self.maskgit, dtype=self.dtype,
+            )
 
     def _condition(self, masked_motion, mask, audio, text):
         parts = []
@@ -128,8 +139,8 @@ class PredictorNet(nn.Module):
         return self.decoder(codes, label, cond, epoch_ratio, train=train)
 
     def sample(self, key, masked_motion, mask, label, audio=None, text=None):
-        """Inference: MaskGit decode -> code indices (B, T/8, G)."""
+        """Inference: MaskGit decode (or pixelcnn AR) -> codes (B, T/8, G)."""
         cond = self._condition(masked_motion, mask, audio, text)
-        if self.maskgit:
+        if self.decoder_type == "pixel" or self.maskgit:
             return self.decoder.sample(key, label, cond, steps=self.maskgit_T)
         return self.decoder.sample_ar(key, label, cond)

@@ -140,11 +140,8 @@ class HolisticPipeline:
                 mask = jnp.zeros((B, w, 1), jnp.float32).at[:, :ov].set(1.0)
             refined, _, _ = self.generate_window(k, aud_w, speaker, ctx, mask)
             outputs = outputs.at[:, pos:end].set(refined[:, : end - pos])
-            if first:
-                pos += step
-                first = False
-            else:
-                pos += step
+            pos += step
+            first = False
         return outputs
 
 

@@ -26,14 +26,16 @@ def make_streaming_generate(vq_model, vq_variables, pred_stage, pred_state,
     ``pad_to_windows`` to bucket arbitrary lengths.
     """
     step = window - overlap
-    pred_vars = {"params": pred_state.params, **pred_state.mutables}
-    ref_vars = {"params": ref_state.params, **ref_state.mutables}
+    pred_vars_v = {"params": pred_state.params, **pred_state.mutables}
+    ref_vars_v = {"params": ref_state.params, **ref_state.mutables}
+    vq_vars_v = vq_variables
 
-    def one_window(key, aud_w, ctx, mask, speaker):
+    def one_window(variables, key, aud_w, ctx, mask, speaker):
+        pred_vars, ref_vars, vq_vars = variables
         masked = ctx * mask
         codes = pred_stage.apply(pred_vars, key, masked, mask, speaker, aud_w,
                                  method=pred_stage.sample)
-        prelim = vq_model.apply(vq_variables, codes, train=False,
+        prelim = vq_model.apply(vq_vars, codes, train=False,
                                 method=vq_model.decode_codes)
         b = aud_w.shape[0]
         prelim = jax.image.resize(prelim, (b, window, prelim.shape[-1]),
@@ -43,14 +45,18 @@ def make_streaming_generate(vq_model, vq_variables, pred_stage, pred_state,
                                   train=False)
         return ctx * mask + refined * (1.0 - mask)
 
+    # NOTE: model variables are jit ARGUMENTS, not closure captures —
+    # closed-over arrays are serialized into the HLO as literal constants,
+    # which blows past remote-compile request limits at real model sizes.
     @functools.partial(jax.jit, static_argnames=("n_extra",))
-    def generate(key, aud, speaker, n_extra: int):
+    def generate(variables, key, aud, speaker, n_extra: int):
         b, t, ca = aud.shape
         c = pred_stage.mot_dim
         key, k0 = jax.random.split(key)
         zero_ctx = jnp.zeros((b, window, c), jnp.float32)
         zero_mask = jnp.zeros((b, window, 1), jnp.float32)
-        first = one_window(k0, aud[:, :window], zero_ctx, zero_mask, speaker)
+        first = one_window(variables, k0, aud[:, :window], zero_ctx,
+                           zero_mask, speaker)
         if n_extra == 0:
             return first
 
@@ -63,7 +69,7 @@ def make_streaming_generate(vq_model, vq_variables, pred_stage, pred_state,
             key, k = jax.random.split(key)
             aud_w = jax.lax.dynamic_slice_in_dim(aud, start, window, axis=1)
             ctx = jnp.zeros((b, window, c), jnp.float32).at[:, :overlap].set(tail)
-            out = one_window(k, aud_w, ctx, ctx_mask, speaker)
+            out = one_window(variables, k, aud_w, ctx, ctx_mask, speaker)
             new = out[:, overlap:]                 # (B, step, C)
             return (out[:, -overlap:], key), new
 
@@ -75,7 +81,8 @@ def make_streaming_generate(vq_model, vq_variables, pred_stage, pred_state,
     def run(key, aud, speaker):
         t = aud.shape[1]
         aud_p, n_extra = pad_to_windows(aud, window, step)
-        out = generate(key, aud_p, speaker, n_extra)
+        out = generate((pred_vars_v, ref_vars_v, vq_vars_v), key, aud_p,
+                       speaker, n_extra)
         return out[:, :t]
 
     return run

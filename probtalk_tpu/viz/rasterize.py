@@ -1,0 +1,149 @@
+"""Flat-shaded z-buffer triangle rasterizer in pure jax.
+
+Capability of the reference's pyrender offscreen mesh rendering
+(``visualise/rendering.py:96-238``, ``voca/rendering.py:110``) without
+pyrender/OpenGL/ffmpeg: SMPL-X vertices + faces -> shaded frames, feeding
+the same grid/GIF/AVI writers as the skeleton path (``viz/render.py``).
+
+TPU-first formulation: no sequential per-triangle scatter — the z-buffer
+is a **min-reduction over triangles per pixel**. Pixels are processed in
+row blocks and triangles in chunks under ``lax.scan``, so the whole frame
+is one compiled program of dense (pixels x triangles) edge-function tests
+— MXU/VPU-friendly, static shapes, O(HW·F/chunks) memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _shade(verts, faces, light_dir):
+    """Per-face flat shading intensity in [0, 1]."""
+    tri = verts[faces]                                   # (F, 3, 3)
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    lam = jnp.abs(n @ jnp.asarray(light_dir))            # two-sided lighting
+    return 0.25 + 0.75 * jnp.clip(lam, 0.0, 1.0)
+
+
+def render_mesh(verts, faces, image_size: int = 512, scale: float = 1.8,
+                center=None, color=(0.75, 0.72, 0.68),
+                background=(0.06, 0.06, 0.08),
+                light_dir=(0.3, 0.4, 0.85), row_block: int = 32,
+                tri_chunk: int = 512):
+    """Rasterize one mesh -> (H, W, 3) float image in [0, 1].
+
+    verts (V, 3) float (x right, y up, z toward viewer — orthographic);
+    faces (F, 3) int32. jit-compiled per (V, F, image_size) signature.
+    """
+    while image_size % row_block:       # row blocks must tile the image
+        row_block //= 2
+    return _render_jit(jnp.asarray(verts), jnp.asarray(faces, jnp.int32),
+                       image_size, float(scale),
+                       None if center is None else jnp.asarray(center),
+                       jnp.asarray(color, jnp.float32),
+                       jnp.asarray(background, jnp.float32),
+                       jnp.asarray(light_dir, jnp.float32),
+                       max(row_block, 1), tri_chunk)
+
+
+def _pad_faces(faces, chunk):
+    f = faces.shape[0]
+    pad = (-f) % chunk
+    if pad:
+        # degenerate (all-same-vertex) padding triangles never cover pixels
+        faces = jnp.concatenate(
+            [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)
+    return faces
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnums=(2, 8, 9))
+def _render_jit(verts, faces, image_size, scale, center, color, background,
+                light_dir, row_block, tri_chunk):
+    h = w = image_size
+    if center is None:
+        center = verts.mean(0)
+    # orthographic projection to pixel coords (y down)
+    xy = (verts[:, :2] - center[:2]) * scale
+    px = (xy[:, 0] * 0.5 + 0.5) * w
+    py = (0.5 - xy[:, 1] * 0.5) * h
+    pz = verts[:, 2] - center[2]                        # larger z = closer
+    pts = jnp.stack([px, py], axis=-1)                  # (V, 2)
+
+    shade = _shade(verts, faces, light_dir)             # (F,)
+    faces = _pad_faces(faces, tri_chunk)
+    shade = jnp.concatenate(
+        [shade, jnp.zeros((faces.shape[0] - shade.shape[0],), shade.dtype)])
+
+    tri_xy = pts[faces]                                 # (F, 3, 2)
+    tri_z = pz[faces].mean(-1)                          # (F,) flat depth
+    n_chunks = faces.shape[0] // tri_chunk
+    tri_xy = tri_xy.reshape(n_chunks, tri_chunk, 3, 2)
+    tri_z = tri_z.reshape(n_chunks, tri_chunk)
+    tri_shade = shade.reshape(n_chunks, tri_chunk)
+
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+
+    def render_rows(y0):
+        yy = jax.lax.dynamic_slice_in_dim(ys, y0, row_block)
+        gx = jnp.tile(xs[None, :], (row_block, 1)).reshape(-1)      # (P,)
+        gy = jnp.repeat(yy, w)                                      # (P,)
+
+        def tri_pass(carry, inp):
+            zbuf, sbuf = carry
+            txy, tz, tsh = inp                      # (C,3,2) (C,) (C,)
+            a, b, c = txy[:, 0], txy[:, 1], txy[:, 2]
+
+            def edge(p0, p1):
+                # (P, C) signed area of (p0->p1, p0->pixel)
+                ex = p1[:, 0] - p0[:, 0]
+                ey = p1[:, 1] - p0[:, 1]
+                return (gx[:, None] - p0[None, :, 0]) * ey[None] - \
+                       (gy[:, None] - p0[None, :, 1]) * ex[None]
+
+            e0, e1, e2 = edge(a, b), edge(b, c), edge(c, a)
+            inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                     ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+            area = jnp.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) -
+                           (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+            inside = inside & (area[None] > 1e-8)
+            z = jnp.where(inside, tz[None], -jnp.inf)   # (P, C)
+            zc = z.max(-1)
+            sh = tsh[z.argmax(-1)]
+            better = zc > zbuf
+            return (jnp.where(better, zc, zbuf),
+                    jnp.where(better, sh, sbuf)), None
+
+        zbuf0 = jnp.full((row_block * w,), -jnp.inf)
+        sbuf0 = jnp.zeros((row_block * w,))
+        (zbuf, sbuf), _ = jax.lax.scan(tri_pass, (zbuf0, sbuf0),
+                                       (tri_xy, tri_z, tri_shade))
+        covered = jnp.isfinite(zbuf)
+        rgb = jnp.where(covered[:, None], sbuf[:, None] * color[None],
+                        background[None])
+        return rgb.reshape(row_block, w, 3)
+
+    blocks = jax.lax.map(render_rows,
+                         jnp.arange(0, h, row_block, dtype=jnp.int32))
+    return blocks.reshape(h, w, 3)
+
+
+def render_mesh_frames(vertices, faces, image_size: int = 512, **kw):
+    """(T, V, 3) vertices -> list of PIL images (shared auto-center)."""
+    from PIL import Image
+
+    vertices = np.asarray(vertices)
+    center = vertices.reshape(-1, 3).mean(0)
+    frames = []
+    for t in range(vertices.shape[0]):
+        img = np.asarray(render_mesh(vertices[t], faces, image_size,
+                                     center=center, **kw))
+        frames.append(Image.fromarray(
+            (np.clip(img, 0, 1) * 255).astype(np.uint8)))
+    return frames

@@ -154,17 +154,32 @@ class RenderTool:
         self.fps = fps
         os.makedirs(out_dir, exist_ok=True)
 
-    def render_sequences(self, joints_list: List[np.ndarray], name: str,
-                         fmt: str = "avi"):
-        """joints_list: N x (T, J, 3) -> one tiled video file. Returns path."""
+    def _write(self, frames, name: str, fmt: str):
         import os
 
-        frame_lists = [render_skeleton_frames(j, self.image_size)
-                       for j in joints_list]
-        frames = grid_layout(frame_lists) if len(frame_lists) > 1 else frame_lists[0]
         path = os.path.join(self.out_dir, f"{name}.{fmt}")
         if fmt == "gif":
             save_gif(frames, path, self.fps)
         else:
             save_mjpeg_avi(frames, path, self.fps)
         return path
+
+    def render_sequences(self, joints_list: List[np.ndarray], name: str,
+                         fmt: str = "avi"):
+        """joints_list: N x (T, J, 3) -> one tiled video file. Returns path."""
+        frame_lists = [render_skeleton_frames(j, self.image_size)
+                       for j in joints_list]
+        frames = grid_layout(frame_lists) if len(frame_lists) > 1 else frame_lists[0]
+        return self._write(frames, name, fmt)
+
+    def render_mesh_sequences(self, vertices_list: List[np.ndarray], faces,
+                              name: str, fmt: str = "avi"):
+        """vertices_list: N x (T, V, 3) SMPL-X vertices -> tiled mesh video
+        (the reference's RenderTool._render_sequences path,
+        visualise/rendering.py:107-238, via viz/rasterize.py)."""
+        from probtalk_tpu.viz.rasterize import render_mesh_frames
+
+        frame_lists = [render_mesh_frames(v, faces, self.image_size)
+                       for v in vertices_list]
+        frames = grid_layout(frame_lists) if len(frame_lists) > 1 else frame_lists[0]
+        return self._write(frames, name, fmt)

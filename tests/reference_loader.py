@@ -108,6 +108,34 @@ def patch_torch2_compat():
     pt.DeepSupervisionLayer.forward = forward
 
 
+def patch_tf_convs():
+    """torch>=2 validates padding strings in Conv init, rejecting the
+    reference's uppercase 'SAME'/'VALID' (Conv{1,2}d_tf pass them through
+    to nn.Conv*, speech2gesture.py:24-118). Re-init with padding=0 and
+    restore the string attr afterwards — the TF-style forward only reads
+    the string."""
+    import torch
+
+    s2g = ref_import("nets.speech2gesture")
+    for cls, base in ((s2g.Conv1d_tf, torch.nn.Conv1d),
+                      (s2g.Conv2d_tf, torch.nn.Conv2d)):
+        if getattr(cls.__init__, "_ptlk", False):
+            continue
+
+        def make_init(base):
+            def init(self, *args, **kwargs):
+                pad = kwargs.get("padding", "SAME")
+                kw = dict(kwargs)
+                if isinstance(pad, str):
+                    kw["padding"] = 0
+                base.__init__(self, *args, **kw)
+                self.padding = pad
+            init._ptlk = True
+            return init
+
+        cls.__init__ = make_init(base)
+
+
 def ref_import(name: str):
     """Import a reference module with cwd set to the reference root (it
     opens data files like 'data_utils/hand_component.json' relative to cwd

@@ -76,7 +76,9 @@ class TestSpliceFace:
 
 class TestHarness:
     def test_run_harness_plumbing(self, pipeline, rng):
-        from probtalk_tpu.cli.test_holistic import run_harness, unfold_windows
+        from probtalk_tpu.cli.test_holistic import (
+            pipeline_generate_fn, run_harness, unfold_windows,
+        )
         from probtalk_tpu.data.dataset import ClipData
 
         w = unfold_windows(np.zeros((200, 5), np.float32), 90, 90)
@@ -88,11 +90,13 @@ class TestHarness:
             aud_feat=rng.normal(size=(40, CA)).astype(np.float32),
             betas=np.zeros(300, np.float32), speaker=0,
         )
-        res = run_harness(pipeline, [clip], np.zeros(430, np.float32),
-                          np.ones(430, np.float32), evaluator=None, B=2)
+        res = run_harness(pipeline_generate_fn(pipeline), [clip],
+                          np.zeros(430, np.float32),
+                          np.ones(430, np.float32), evaluator=None, B=2,
+                          verbose=False)
         assert res["clips"] == 1
         assert res["fps"] > 0
-        assert np.isfinite(res["diversity"])
+        assert np.isfinite(res["diversity_fbhe"])
 
 
 class TestContinuation:

@@ -1,0 +1,103 @@
+"""Z-buffer mesh rasterizer tests (viz/rasterize.py).
+
+Golden-checks core rasterization semantics: coverage, occlusion ordering,
+background, and the end-to-end SMPL-X-fixture -> video path the reference
+does with pyrender (visualise/rendering.py:96-238).
+"""
+
+import numpy as np
+import pytest
+
+from probtalk_tpu.viz.rasterize import render_mesh, render_mesh_frames
+
+SZ = 64
+BG = (0.06, 0.06, 0.08)
+
+
+def tri(z, shift=0.0):
+    """A triangle covering the image center at depth z."""
+    return np.asarray([[-0.3 + shift, -0.3, z], [0.3 + shift, -0.3, z],
+                       [shift, 0.4, z]], np.float32)
+
+
+class TestRasterizer:
+    def test_coverage_and_background(self):
+        verts = tri(0.0)
+        img = np.asarray(render_mesh(verts, np.asarray([[0, 1, 2]]), SZ,
+                                     center=np.zeros(3), tri_chunk=4,
+                                     row_block=8))
+        assert img.shape == (SZ, SZ, 3)
+        # center covered, corner background
+        assert not np.allclose(img[SZ // 2, SZ // 2], BG)
+        np.testing.assert_allclose(img[1, 1], BG, atol=1e-6)
+
+    def test_occlusion_near_wins(self):
+        # front triangle flat (z=1); back triangle tilted so its flat-shade
+        # intensity differs — occlusion decides the center pixel
+        front = tri(1.0)
+        back = tri(-1.0)
+        back[0, 2] += 1.5                        # tilt -> different normal
+        faces2 = np.asarray([[0, 1, 2], [3, 4, 5]])
+        kw = dict(center=np.zeros(3), tri_chunk=4, row_block=8)
+
+        img_front_only = np.asarray(render_mesh(front, [[0, 1, 2]], SZ, **kw))
+        img_back_only = np.asarray(render_mesh(back, [[0, 1, 2]], SZ, **kw))
+        both = np.asarray(render_mesh(np.concatenate([front, back]), faces2,
+                                      SZ, **kw))
+        c = (SZ // 2, SZ // 2)
+        # shades genuinely differ at the center
+        assert not np.allclose(img_front_only[c], img_back_only[c])
+        # with both present, the near (front) triangle wins the pixel
+        np.testing.assert_allclose(both[c], img_front_only[c], atol=1e-6)
+
+    def test_zbuffer_matches_numpy_reference(self, rng):
+        """Random small mesh vs a naive per-pixel numpy rasterizer."""
+        v = rng.normal(size=(12, 3)).astype(np.float32) * 0.4
+        f = rng.integers(0, 12, (8, 3)).astype(np.int32)
+        img = np.asarray(render_mesh(v, f, 32, center=np.zeros(3),
+                                     color=(1, 1, 1), tri_chunk=4,
+                                     row_block=8))
+
+        # naive reference: same projection/edge-test math, python loops
+        px = (v[:, 0] * 1.8 * 0.5 + 0.5) * 32
+        py = (0.5 - v[:, 1] * 1.8 * 0.5) * 32
+        cover = np.zeros((32, 32), bool)
+        for yi in range(32):
+            for xi in range(32):
+                x, y = xi + 0.5, yi + 0.5
+                for a, b, c in f:
+                    e = []
+                    for p0, p1 in ((a, b), (b, c), (c, a)):
+                        e.append((x - px[p0]) * (py[p1] - py[p0]) -
+                                 (y - py[p0]) * (px[p1] - px[p0]))
+                    e = np.asarray(e)
+                    area = abs((px[b] - px[a]) * (py[c] - py[a]) -
+                               (py[b] - py[a]) * (px[c] - px[a]))
+                    if area > 1e-8 and (np.all(e >= 0) or np.all(e <= 0)):
+                        cover[yi, xi] = True
+                        break
+        got_cover = ~np.all(np.isclose(img, np.asarray(BG)), axis=-1)
+        # allow edge-pixel disagreement on shared edges
+        assert (got_cover == cover).mean() > 0.98
+
+    def test_smplx_fixture_to_video(self, tmp_path, rng):
+        from probtalk_tpu.smplx import (
+            load_smplx, smplx_forward, write_synthetic_smplx_npz,
+        )
+        from probtalk_tpu.viz.render import RenderTool
+
+        path = str(tmp_path / "synth.npz")
+        write_synthetic_smplx_npz(path, n_verts=80, n_faces=120)
+        import jax.numpy as jnp
+
+        model = load_smplx(path)
+        pose = 0.2 * rng.normal(size=(3, 165)).astype(np.float32)
+        out = smplx_forward(model, jnp.zeros((300,)), jnp.zeros((3, 100)),
+                            jnp.asarray(pose), return_verts=True)
+        verts = np.asarray(out["vertices"])          # (3, V, 3)
+        rt = RenderTool(str(tmp_path), image_size=48)
+        video = rt.render_mesh_sequences([verts], np.asarray(model.faces),
+                                         "mesh_demo")
+        import os
+
+        assert os.path.exists(video) and os.path.getsize(video) > 1000
