@@ -76,8 +76,8 @@ def main():
                                    jax.random.key(3), adamw(1e-4),
                                    init_kwargs={"train": False})
 
-    predict = make_predictor_infer_fn(pred_stage, vq, vq_vars)
-    refine = make_refiner_infer_fn(ref_stage)
+    pred_vars = {"params": pred_state.params, **pred_state.mutables}
+    ref_vars = {"params": ref_state.params, **ref_state.mutables}
 
     stats_path = os.environ.get(
         "PROBTALK_NORM_STATS", "/root/reference/data_utils/norm_stats.npy")
@@ -91,37 +91,45 @@ def main():
     cidx = body_parts.c_index(True)
     jaw_d = body_parts.each_dim(True)[0]
 
-    @jax.jit
-    def frontend(w2v_vars, wav):
-        return w2v.apply(w2v_vars, wav, n_frames=t)
+    from probtalk_tpu.utils.interp import resize_time
 
+    # the WHOLE serving path is one XLA program, every model's variables an
+    # explicit argument — closure captures (even through nested jitted fns)
+    # re-enter the outer trace as literal constants and cost 10-100x
+    # (PERFORMANCE.md round-2 findings)
     @jax.jit
-    def postprocess(refined):
+    def full_jit(w2v_v, pred_v, ref_v, vq_v, key, wav):
+        feats = w2v.apply(w2v_v, wav, n_frames=t)           # (B, T, 768)
+        codes = pred_stage.apply(pred_v, key, x, mask, spk, feats,
+                                 method=pred_stage.sample)
+        prelim = vq.apply(vq_v, codes, train=False, method=vq.decode_codes)
+        prelim = resize_time(prelim, t)
+        refined = ref_stage.apply(ref_v, prelim, feats, mask, spk,
+                                  train=False)
         den = normalize.denormalize(refined, mean, std, shape="fbhe", idx=cidx)
-        d6 = den[..., : jaw_d + 270]
-        aa = d6_to_aa_flat(d6.reshape(-1, 276)).reshape(b, t, 138)
-        fullp = body_parts.part2full(aa)
+        aa = d6_to_aa_flat(den[..., : jaw_d + 270].reshape(-1, 276))
+        fullp = body_parts.part2full(aa.reshape(b, t, 138))
         return jnp.concatenate([fullp, den[..., -100:]], axis=-1)
 
     def full(key, wav):
-        feats = frontend(w2v_vars, wav)                     # (B, T, 768)
-        prelim, codes = predict(pred_state, key, x, mask, spk, feats)
-        refined = refine(ref_state, prelim, feats, mask, spk)
-        return postprocess(refined)                         # (B, T, 265)
+        return full_jit(w2v_vars, pred_vars, ref_vars, vq_vars, key, wav)
 
     rng = np.random.default_rng(0)
     wav_np = jnp.asarray(0.1 * rng.normal(size=(b, wav_len)).astype(np.float32))
 
-    # warmup / compile
+    from probtalk_tpu.eval.harness import device_sync
+
+    # warmup / compile (device_sync: block_until_ready does not block on
+    # the axon backend — a scalar fetch is the completion barrier)
     out = full(jax.random.key(0), wav_np)
-    jax.block_until_ready(out)
+    device_sync(out)
     assert out.shape == (b, t, 265), out.shape
 
-    iters = 20
+    iters = 50
     t0 = time.perf_counter()
     for i in range(iters):
         out = full(jax.random.key(i), wav_np)
-    jax.block_until_ready(out)
+    device_sync(out)
     dt = time.perf_counter() - t0
 
     frames_per_sec = b * t * iters / dt

@@ -109,9 +109,7 @@ def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
     batch: {'poses_fbhe': (B,T,C), 'aud_feat': (B,T,Ca), 'speaker': (B,),
             'epoch_ratio': scalar, optionally 'text_feat'}
     """
-    vq_variables = jax.tree_util.tree_map(jax.lax.stop_gradient, vq_variables)
-
-    def loss_fn(params, mutables, batch, rng):
+    def loss_fn(params, mutables, vq_vars, batch, rng):
         gt = batch["poses_fbhe"]
         bs, t, _ = gt.shape
         k_mask, k_net, k_drop = jax.random.split(rng, 3)
@@ -123,7 +121,7 @@ def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
         masked_motion = gt * mask
 
         # frozen VQ: GT codes as prediction targets (predictor.py:232-240)
-        _, _, codes = vq_model.apply(vq_variables, gt, train=False,
+        _, _, codes = vq_model.apply(vq_vars, gt, train=False,
                                      method=vq_model.encode)
         codes = jax.lax.stop_gradient(codes)
 
@@ -140,14 +138,18 @@ def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
         acc = jnp.mean(jnp.argmax(logits, -1) == codes)
         return ce, (new_mut, {"loss": ce, "code_acc": acc})
 
+    # frozen VQ enters the jit as an argument, not a closure constant
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, batch, rng):
+    def _step(state: TrainState, vq_vars, batch, rng):
         (_, (new_mut, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.mutables, batch, rng
+            state.params, state.mutables, vq_vars, batch, rng
         )
         new_state = state.apply_gradients(grads, new_mutables=new_mut)
         ld["grad_norm"] = optax_global_norm(grads)
         return new_state, ld
+
+    def step(state, batch, rng):
+        return _step(state, vq_variables, batch, rng)
 
     return step
 
@@ -155,21 +157,30 @@ def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
 def make_predictor_infer_fn(stage: PredictorStage, vq_model, vq_variables):
     """Jitted inference: audio (+context) -> codes -> decoded preliminary
     motion, interpolated to T and blended with known context
-    (reference infer_on_batch, predictor.py:398-448)."""
+    (reference infer_on_batch, predictor.py:398-448).
+
+    vq_variables enter the jit as an ARGUMENT: a closure capture would
+    serialize the ~30M-param VQ into the HLO as literal constants (slow
+    executables + oversized remote-compile requests)."""
 
     @jax.jit
-    def infer(state: TrainState, key, gt_poses, mask, speaker, aud, text=None):
+    def infer(state: TrainState, vq_vars, key, gt_poses, mask, speaker, aud,
+              text=None):
         variables = {"params": state.params, **state.mutables}
         masked_motion = gt_poses * mask
         codes = stage.apply(variables, key, masked_motion, mask, speaker, aud,
                             text, method=stage.sample)
-        prelim = vq_model.apply(vq_variables, codes, train=False,
+        prelim = vq_model.apply(vq_vars, codes, train=False,
                                 method=vq_model.decode_codes)
         prelim = resize_time(prelim, gt_poses.shape[1])
         blended = masked_motion * mask + prelim * (1.0 - mask)
         return blended, codes
 
-    return infer
+    def run(state, key, gt_poses, mask, speaker, aud, text=None):
+        return infer(state, vq_variables, key, gt_poses, mask, speaker, aud,
+                     text)
+
+    return run
 
 
 def make_predictor_code_eval_fn(stage: PredictorStage, vq_model, vq_variables,
@@ -179,9 +190,10 @@ def make_predictor_code_eval_fn(stage: PredictorStage, vq_model, vq_variables,
     predictor.py:450-536 final variant)."""
 
     @jax.jit
-    def evaluate(state: TrainState, key, gt_poses, speaker, aud, text=None):
+    def _evaluate(state: TrainState, vq_vars, key, gt_poses, speaker, aud,
+                  text=None):
         variables = {"params": state.params, **state.mutables}
-        _, _, codes = vq_model.apply(vq_variables, gt_poses, train=False,
+        _, _, codes = vq_model.apply(vq_vars, gt_poses, train=False,
                                      method=vq_model.encode)
         k1, _ = jax.random.split(key)
         code_mask = jax.random.uniform(k1, codes.shape) < mask_ratio
@@ -193,6 +205,10 @@ def make_predictor_code_eval_fn(stage: PredictorStage, vq_model, vq_variables,
         nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
         ce = jnp.sum(nll * code_mask) / jnp.clip(jnp.sum(code_mask), 1)
         return ce
+
+    def evaluate(state, key, gt_poses, speaker, aud, text=None):
+        return _evaluate(state, vq_variables, key, gt_poses, speaker, aud,
+                         text)
 
     return evaluate
 
@@ -228,16 +244,14 @@ def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
                             each_dim=None):
     """Jitted refiner train step (reference refiner.py:183-311):
     VQ-reconstruct GT, add gaussian noise, blend with GT context, regress."""
-    vq_variables = jax.tree_util.tree_map(jax.lax.stop_gradient, vq_variables)
-
-    def loss_fn(params, mutables, batch, rng):
+    def loss_fn(params, mutables, vq_vars, batch, rng):
         gt = batch["poses_fbhe"]
         bs, t, _ = gt.shape
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
 
         mask = sample_context_mask(k_mask, bs, t)
 
-        vq_poses, _, _ = vq_model.apply(vq_variables, gt, train=False)
+        vq_poses, _, _ = vq_model.apply(vq_vars, gt, train=False)
         vq_poses = resize_time(vq_poses, t)
         vq_poses = jax.lax.stop_gradient(vq_poses)
         vq_poses = vq_poses + noise_std * jax.random.normal(k_noise, vq_poses.shape)
@@ -254,13 +268,16 @@ def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
         return total, (new_mut, ld)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, batch, rng):
+    def _step(state: TrainState, vq_vars, batch, rng):
         (_, (new_mut, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.mutables, batch, rng
+            state.params, state.mutables, vq_vars, batch, rng
         )
         new_state = state.apply_gradients(grads, new_mutables=new_mut)
         ld["grad_norm"] = optax_global_norm(grads)
         return new_state, ld
+
+    def step(state, batch, rng):
+        return _step(state, vq_variables, batch, rng)
 
     return step
 

@@ -82,6 +82,9 @@ def run_torch(train, evalb):
 
     cfgmod = ref_import("trainer.config")
     config = cfgmod.load_JsonConfig("/root/reference/config/vq.json")
+    # the shipped config points at the (absent) full dataset; TrainWrapper
+    # init only uses data_root to enumerate speaker dirs
+    config.Data.data_root = "/root/reference/demo_audio"
     vq_teacher = ref_import("nets.inpainting.vq_teacher")
     args = argparse.Namespace(gpu="cpu", infer=False, save_dir="/tmp",
                               exp_name="parity", speakers=["oliver"],
@@ -89,13 +92,17 @@ def run_torch(train, evalb):
     torch.manual_seed(0)
     wrapper = vq_teacher.TrainWrapper(args, config)
 
-    if os.path.exists(ckpt_path):
-        wrapper.load_state_dict(torch.load(ckpt_path, map_location="cpu",
-                                           weights_only=False))
-        log("torch: restored checkpoint")
-    else:
+    start = 0
+    if os.path.exists(ckpt_path):                       # resume mid-run
+        saved = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        wrapper.load_state_dict(saved["state"])
+        start = saved["step"]
+        log(f"torch: restored checkpoint at step {start}")
+    if start < STEPS:
         t0 = time.time()
         for i, b in enumerate(train):
+            if i < start:
+                continue
             bat = {
                 "poses": torch.from_numpy(b["poses"].transpose(0, 2, 1)),
                 "expression": torch.from_numpy(
@@ -105,12 +112,15 @@ def run_torch(train, evalb):
                 "epoch": 0,
             }
             _, loss_dict = wrapper(bat)
+            if i % 25 == 0 or i == STEPS - 1:
+                torch.save({"state": wrapper.state_dict(), "step": i + 1},
+                           ckpt_path)
             if i % 100 == 0 or i == STEPS - 1:
                 log(f"torch vq step {i}: " + ", ".join(
                     f"{k}={float(v):.4f}" for k, v in loss_dict.items()
                     if k in ("rec_loss", "velocity_loss", "e_q_loss")))
         log(f"torch vq trained in {time.time()-t0:.0f}s")
-        torch.save(wrapper.state_dict(), ckpt_path)
+        torch.save({"state": wrapper.state_dict(), "step": STEPS}, ckpt_path)
 
     wrapper.VQ.eval()
     l1s = []
