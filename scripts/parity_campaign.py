@@ -180,18 +180,18 @@ def main():
     results = {}
     if os.path.exists(OUT_JSON):
         results = json.load(open(OUT_JSON))
-    results.setdefault("config", {"steps": STEPS, "batch_size": BS,
-                                  "window": WINDOW, "lr": LR,
-                                  "optimizer": "adam",
+    results.setdefault("config", {"batch_size": BS, "window": WINDOW,
+                                  "lr": LR, "optimizer": "adam",
                                   "data": "SHOW demo clips (8), shared "
                                           "bit-identical batches"})
+    entry = results.setdefault(f"steps_{STEPS}", {})
     if which in ("both", "jax"):
-        results["jax_vq_capacity_l1"] = run_jax(train, evalb)
-        log(f"jax capacity L1 = {results['jax_vq_capacity_l1']:.4f}")
+        entry["jax_vq_capacity_l1"] = run_jax(train, evalb)
+        log(f"jax capacity L1 = {entry['jax_vq_capacity_l1']:.4f}")
         json.dump(results, open(OUT_JSON, "w"), indent=2)
     if which in ("both", "torch"):
-        results["torch_vq_capacity_l1"] = run_torch(train, evalb)
-        log(f"torch capacity L1 = {results['torch_vq_capacity_l1']:.4f}")
+        entry["torch_vq_capacity_l1"] = run_torch(train, evalb)
+        log(f"torch capacity L1 = {entry['torch_vq_capacity_l1']:.4f}")
         json.dump(results, open(OUT_JSON, "w"), indent=2)
     log(json.dumps(results))
 
