@@ -104,7 +104,7 @@ class HolisticPipeline:
 
     # ------------------------------------------------------------------
     def generate(self, key, aud_feat, speaker, B: int = 1,
-                 gt_context=None) -> jnp.ndarray:
+                 gt_context=None, smooth_seams: bool = False) -> jnp.ndarray:
         """Full-length generation with sliding-window context feedback.
 
         aud_feat: (T, Ca) motion-fps audio features; returns (B, T, C)
@@ -127,6 +127,7 @@ class HolisticPipeline:
         outputs = jnp.zeros((B, t_total, c), jnp.float32)
         pos = 0
         first = True
+        seams = []
         while pos < t_total:
             key, k = jax.random.split(key)
             end = min(pos + w, t_total)
@@ -138,10 +139,17 @@ class HolisticPipeline:
                 ctx = jnp.zeros((B, w, c), jnp.float32)
                 ctx = ctx.at[:, :ov].set(outputs[:, pos: pos + ov])
                 mask = jnp.zeros((B, w, 1), jnp.float32).at[:, :ov].set(1.0)
+                seams.append(pos + ov)
             refined, _, _ = self.generate_window(k, aud_w, speaker, ctx, mask)
             outputs = outputs.at[:, pos:end].set(refined[:, : end - pos])
             pos += step
             first = False
+        if smooth_seams and seams:
+            # body+hand channels only (the reference smooths each_dim[0]
+            # .. jaw+body+hand, refiner.py:557)
+            jaw_d = body_parts.each_dim(True)[0]
+            outputs = gaussian_smooth_around(outputs, seams, jaw_d,
+                                             min(jaw_d + 270, c))
         return outputs
 
 
@@ -179,6 +187,36 @@ def continue_generation(pipe: "HolisticPipeline", key, prev_motion, aud_feat,
         ctx_frames = jnp.concatenate([ctx_frames, new], axis=1)[:, -num_pre:]
         pos += take
     return jnp.concatenate(outputs, axis=1)
+
+
+def gaussian_smooth_around(x, time_points, ch_start: int, ch_end: int,
+                           window_size: int = 5, sigma: float = 2.0,
+                           halfwidth: int = 10):
+    """Gaussian-smooth channels [ch_start:ch_end) of (B, T, C) motion in a
+    ±halfwidth region around each given time point — the reference's
+    window-seam smoother (``refiner.py:635``
+    ``gaussian_smoothing_around_timepoint``; disabled by default there and
+    here, kept for parity). jit-friendly: full-sequence depthwise conv +
+    a static seam-region blend mask."""
+    x = jnp.asarray(x)
+    t = x.shape[1]
+    k = jnp.arange(window_size) - window_size // 2
+    kernel = jnp.exp(-0.5 * (k / sigma) ** 2)
+    kernel = kernel / kernel.sum()
+
+    seg = x[..., ch_start:ch_end]
+    pad = window_size // 2
+    padded = jnp.pad(seg, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    # depthwise smoothing along time
+    sm = sum(kernel[i] * padded[:, i: i + t] for i in range(window_size))
+
+    region = jnp.zeros((t,), bool)
+    for tp in time_points:
+        lo, hi = max(tp - halfwidth, 0), min(tp + halfwidth, t)
+        region = region.at[lo:hi].set(True)
+    blended = jnp.where(region[None, :, None], sm, seg)
+    return jnp.concatenate(
+        [x[..., :ch_start], blended, x[..., ch_end:]], axis=-1)
 
 
 def _pad_time(x, t_out: int):

@@ -1,6 +1,8 @@
 from probtalk_tpu.quant.pq import (  # noqa: F401
     PQState,
+    kmeans,
     pq_init,
+    pq_init_kmeans,
     pq_forward_train,
     pq_forward_eval,
     pq_lookup_codes,

@@ -184,3 +184,58 @@ def pq_forward_train(
     commit = commitment_cost * jnp.mean((xf - jax.lax.stop_gradient(quant_btE)) ** 2)
     ste = xf + jax.lax.stop_gradient(quant_btE - xf)
     return ste.astype(x.dtype), new_state, commit, idx.reshape(b, t, g)
+
+
+def kmeans(key, samples, num_clusters: int, num_iters: int = 10):
+    """Plain k-means for codebook initialization (capability of the
+    vendored audiocraft kmeans, ``nets/spg/RQ_from_audiocraft/
+    core_vq.py:53-76``): random-sample init, Lloyd iterations with
+    empty-cluster re-randomization. samples (N, D) -> (means (K, D),
+    bins (K,)). jit-friendly: lax.fori_loop, static shapes."""
+    n, d = samples.shape
+    idx = jax.random.choice(key, n, (num_clusters,), replace=n < num_clusters)
+    means = samples[idx]
+
+    def step(i, carry):
+        means, _ = carry
+        d2 = (
+            jnp.sum(samples**2, -1, keepdims=True)
+            - 2.0 * samples @ means.T
+            + jnp.sum(means**2, -1)[None]
+        )
+        assign = jnp.argmin(d2, axis=-1)                     # (N,)
+        onehot = jax.nn.one_hot(assign, num_clusters, dtype=samples.dtype)
+        bins = onehot.sum(0)                                 # (K,)
+        sums = onehot.T @ samples                            # (K, D)
+        new = sums / jnp.clip(bins[:, None], 1.0)
+        # empty clusters keep their previous mean (audiocraft re-randomizes;
+        # EMA dead-code restart handles it during training here)
+        means_next = jnp.where(bins[:, None] > 0, new, means)
+        return means_next, bins
+
+    means, bins = jax.lax.fori_loop(0, num_iters, step, (means, jnp.zeros((num_clusters,), samples.dtype)))
+    return means, bins
+
+
+def pq_init_kmeans(key, x, groups: int, num_codes: int,
+                   num_iters: int = 10) -> PQState:
+    """Data-driven codebook init (audiocraft's ``kmeans_init=True``):
+    x (..., G*D) latents from a warmup batch -> PQState whose per-group
+    codebooks are k-means centroids of the per-group chunks. EMA
+    accumulators start as if the kmeans assignment already happened
+    (counts=bins, dw=bins*mean), matching audiocraft's init_embed_."""
+    flat = x.reshape(-1, groups, x.shape[-1] // groups)
+    keys = jax.random.split(key, groups)
+    means, bins = [], []
+    for g in range(groups):
+        m, b = kmeans(keys[g], flat[:, g], num_codes, num_iters)
+        means.append(m)
+        bins.append(b)
+    codebooks = jnp.stack(means).astype(jnp.float32)
+    counts = jnp.stack(bins).astype(jnp.float32)
+    return PQState(
+        codebooks=codebooks,
+        ema_counts=counts,
+        ema_dw=codebooks * counts[..., None],
+        counter=jnp.ones((), jnp.int32),
+    )

@@ -148,3 +148,30 @@ class TestAllInOne:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             ai1(forward_type="nope")
+
+
+class TestSeamSmoothing:
+    def test_gaussian_smooth_around(self, rng):
+        from probtalk_tpu.pipeline import gaussian_smooth_around
+
+        x = jnp.asarray(rng.normal(size=(2, 60, 10)).astype(np.float32))
+        out = np.asarray(gaussian_smooth_around(x, [30], 2, 8))
+        xn = np.asarray(x)
+        # untouched: outside the +-10 seam region, and channels <2 / >=8
+        np.testing.assert_array_equal(out[:, :20], xn[:, :20])
+        np.testing.assert_array_equal(out[:, 40:], xn[:, 40:])
+        np.testing.assert_array_equal(out[..., :2], xn[..., :2])
+        np.testing.assert_array_equal(out[..., 8:], xn[..., 8:])
+        # smoothed region changed and has lower local variation
+        assert not np.allclose(out[:, 25:35, 2:8], xn[:, 25:35, 2:8])
+        tv = lambda a: np.abs(np.diff(a, axis=1)).mean()
+        assert tv(out[:, 22:38, 2:8]) < tv(xn[:, 22:38, 2:8])
+
+    def test_generate_smooth_seams_flag(self, pipeline, rng):
+        t = 40
+        aud = jnp.asarray(rng.normal(size=(t, CA)).astype(np.float32))
+        out = pipeline.generate(jax.random.key(3), aud,
+                                jnp.zeros((1,), jnp.int32), B=1,
+                                smooth_seams=True)
+        assert out.shape == (1, t, CM)
+        assert np.isfinite(np.asarray(out)).all()

@@ -165,3 +165,41 @@ class TestRQ:
                 first = float(commit)
             last = float(commit)
         assert last < first
+
+
+class TestKmeansInit:
+    def test_kmeans_finds_separated_clusters(self, rng):
+        import jax
+        from probtalk_tpu.quant.pq import kmeans
+
+        centers = np.asarray([[0, 0], [10, 10], [-10, 5]], np.float32)
+        pts = np.concatenate([
+            c + 0.1 * rng.normal(size=(50, 2)).astype(np.float32)
+            for c in centers
+        ])
+        means, bins = kmeans(jax.random.key(0), jnp.asarray(pts), 3, 20)
+        means = np.asarray(means)
+        # every true center has a centroid within 0.5
+        for c in centers:
+            assert np.min(np.linalg.norm(means - c, axis=-1)) < 0.5
+        assert float(np.asarray(bins).sum()) == 150
+
+    def test_pq_init_kmeans_state_shapes(self, rng):
+        import jax
+        from probtalk_tpu.quant.pq import pq_init_kmeans, pq_forward_eval
+
+        x = rng.normal(size=(32, 8, 16)).astype(np.float32)
+        st = pq_init_kmeans(jax.random.key(1), jnp.asarray(x), groups=4,
+                            num_codes=8)
+        assert st.codebooks.shape == (4, 8, 4)
+        assert st.ema_counts.shape == (4, 8)
+        q, idx = pq_forward_eval(st, jnp.asarray(x))
+        assert q.shape == x.shape
+        # kmeans centroids quantize the init data far better than random
+        from probtalk_tpu.quant.pq import pq_init
+
+        st_rand = pq_init(jax.random.key(2), 4, 8, 4)
+        q_rand, _ = pq_forward_eval(st_rand, jnp.asarray(x))
+        err_km = float(jnp.mean((q - x) ** 2))
+        err_rand = float(jnp.mean((q_rand - x) ** 2))
+        assert err_km < err_rand
