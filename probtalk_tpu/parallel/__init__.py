@@ -4,3 +4,8 @@ from probtalk_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     data_spec,
 )
+from probtalk_tpu.parallel.tp import (  # noqa: F401
+    TP_RULES,
+    tp_shard,
+    tp_shard_state,
+)

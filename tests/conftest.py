@@ -33,7 +33,8 @@ _SLOW_MODULES = {
     "test_causal", "test_vqvae", "test_quant", "test_transformer",
     "test_layers", "test_sequence_parallel", "test_torch_parity",
     "test_torch_parity_transformers", "test_torch_parity_wav2vec2",
-    "test_torch_parity_baselines", "test_cli_eval",
+    "test_torch_parity_baselines", "test_cli_eval", "test_tensor_parallel",
+    "test_rasterize", "test_smplx_golden",
 }
 
 
