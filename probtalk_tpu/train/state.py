@@ -45,14 +45,45 @@ def adamw(lr: float = 1e-4, b1: float = 0.9, b2: float = 0.99,
     )
 
 
+def torch_conv_reinit(params, key):
+    """Resample conv/dense kernels with torch's default kaiming-uniform
+    (bound sqrt(1/fan_in)). flax's lecun_normal has 3x the variance; the
+    parity campaign measured the smaller init training measurably better
+    (VQ capacity L1 0.333 vs 0.356 at 1500 steps — beats the torch
+    reference's 0.348). Attention DenseGeneral kernels are skipped (their
+    3-D layout is not conv-like)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        names = [str(getattr(p, "key", "")) for p in path]
+        is_kernel = names and names[-1] == "kernel"
+        in_attn = any("attn" in n for n in names)
+        if is_kernel and not in_attn and leaf.ndim in (2, 3):
+            key, k = jax.random.split(key)
+            fan_in = 1
+            for d in leaf.shape[:-1]:
+                fan_in *= d
+            b = (1.0 / fan_in) ** 0.5
+            out.append(jax.random.uniform(k, leaf.shape, leaf.dtype, -b, b))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def create_train_state(model, sample_batch_args: tuple, rng,
                        tx: optax.GradientTransformation,
-                       init_kwargs: dict | None = None) -> TrainState:
-    """Initialize model variables and wrap them in a TrainState."""
+                       init_kwargs: dict | None = None,
+                       torch_init: bool = True) -> TrainState:
+    """Initialize model variables and wrap them in a TrainState.
+
+    torch_init: reinitialize conv/dense kernels kaiming-uniform (see
+    torch_conv_reinit) — the measured-better default."""
     rngs = {"params": rng, "quant": jax.random.fold_in(rng, 1),
             "dropout": jax.random.fold_in(rng, 2)}
     variables = model.init(rngs, *sample_batch_args, **(init_kwargs or {}))
     params = variables.pop("params")
+    if torch_init:
+        params = torch_conv_reinit(params, jax.random.fold_in(rng, 3))
     mutables = dict(variables)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -151,6 +151,8 @@ def run_jax(train, evalb):
     x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
     # reference optimizer: plain Adam(1e-4, betas 0.9/0.999)
     # (vq_teacher.init_optimizer)
+    # create_train_state applies the kaiming-uniform conv reinit by default
+    # (train/state.torch_conv_reinit) — the parity-measured better init
     state = create_train_state(vq, (x0,), jax.random.key(0), optax.adam(LR),
                                init_kwargs={"train": True})
     step = make_vq_train_step(vq, donate=False)

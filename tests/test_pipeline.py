@@ -175,3 +175,38 @@ class TestSeamSmoothing:
                                 smooth_seams=True)
         assert out.shape == (1, t, CM)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestInpaint:
+    def test_inpaint_clip_keeps_known_frames(self, pipeline, rng):
+        from probtalk_tpu.cli.visualise_inpaint import (
+            build_inpaint_mask, inpaint_clip,
+        )
+        from probtalk_tpu.data.dataset import ClipData
+
+        m = build_inpaint_mask(50, pre_frames=5, interior_keep=0.5,
+                               rng=np.random.default_rng(0))
+        assert m[:5].all() and m[45:].all()
+        assert 0 < m[5:45].sum() < 40
+
+        clip = ClipData(
+            poses=rng.normal(size=(40, 330)).astype(np.float32),
+            expression=rng.normal(size=(40, 100)).astype(np.float32),
+            aud_feat=rng.normal(size=(40, CA)).astype(np.float32),
+            betas=np.zeros(300, np.float32), speaker=0,
+        )
+        # the tiny pipeline has CM=40 channels; inpaint only needs shapes
+        # consistent between gt_fbhe and pipeline mot_dim — use a fake
+        # compose by truncating: here we instead run with the real 376 dim
+        # is impossible, so check mask plumbing via generate_window directly
+        import jax
+        import jax.numpy as jnp
+
+        gt = jnp.asarray(rng.normal(size=(2, W, CM)).astype(np.float32))
+        mask = jnp.zeros((2, W, 1), jnp.float32).at[:, :4].set(1.0)
+        refined, _, _ = pipeline.generate_window(
+            jax.random.key(0), jnp.zeros((2, W, CA)), jnp.zeros((2,), jnp.int32),
+            gt * mask, mask)
+        # known frames pass through unrefined (pipeline blends with mask)
+        np.testing.assert_allclose(np.asarray(refined[:, :4]),
+                                   np.asarray(gt[:, :4] * 1.0), atol=1e-5)
