@@ -1,0 +1,399 @@
+"""FULL-SYSTEM quality parity: torch reference vs probtalk_tpu at FGD level.
+
+Beyond the VQ-stage parity (parity_campaign.py): trains the reference's
+predictor + refiner wrappers (their own losses/optimizers/curricula,
+``nets/inpainting/{predictor,refiner}.py``) AND fresh probtalk_tpu stages
+for the SAME steps on the SAME batches (identical 768-d audio features:
+MFCC tiled 12x so both sides' wav2vec-dim encoders see identical input),
+on top of the SAME 1500-step torch-vs-jax VQ pair. Both systems then
+generate the 8 demo clips with the reference's sliding-window schedule and
+are scored by ONE shared FGD embedder trio (GT-trained, framework-neutral)
+— apples-to-apples fgd_{fe,bh,fbhe} + diversity. Writes PARITY_FGD.json.
+
+Stage-resumable:  python scripts/parity_full_campaign.py <stage>
+stages: torch_pred | torch_ref | gen_torch | jax | score   (default: next
+incomplete). Torch runs on CPU (no CUDA in image), jax on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
+DIR = os.path.join(REPO, "experiments", "parity_full")
+VQ_TORCH = os.path.join(REPO, "experiments", "parity", "torch_vq_1500.pth")
+OUT = os.path.join(REPO, "PARITY_FGD.json")
+STEPS = int(os.environ.get("PARITY_STEPS", 600))
+BS, WINDOW, AUD = 8, 180, 768
+B_GEN = 8          # diversity samples at generation
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def load_data():
+    from probtalk_tpu.cli.data_build import build_cache, load_cached_clips
+    from probtalk_tpu.data.dataset import WindowedDataset
+
+    build_cache("/root/reference/demo_audio", CACHE,
+                ["oliver", "chemistry", "seth", "conan"],
+                "/root/reference/data_utils/hand_component.json",
+                audio_feat="mfcc")
+    clips, mean, std = load_cached_clips(CACHE)
+    for c in clips:                                # 64-d MFCC -> 768-d
+        if c.aud_feat.shape[-1] != AUD:
+            c.aud_feat = np.tile(c.aud_feat, (1, AUD // c.aud_feat.shape[-1]))
+    ds = WindowedDataset(clips, window=WINDOW, stride=6, mean=mean, std=std)
+    return clips, mean, std, ds
+
+
+def batch_stream(ds, n, seed0=0):
+    out, seed = [], seed0
+    while len(out) < n:
+        for b in ds.batches(BS, seed=seed):
+            out.append(b)
+            if len(out) == n:
+                break
+        seed += 1
+    return out
+
+
+def torch_bat(b, epoch=0):
+    import torch
+
+    return {
+        "poses": torch.from_numpy(b["poses"].transpose(0, 2, 1)),
+        "expression": torch.from_numpy(b["expression"].transpose(0, 2, 1)),
+        "aud_feat": torch.from_numpy(b["aud_feat"].transpose(0, 2, 1)),
+        "speaker": torch.from_numpy(b["speaker"].astype(np.int64)),
+        "epoch": epoch,
+        "fm_dict": None,   # refiner.__call__ reads (and ignores) it
+    }
+
+
+def make_args(infer=False):
+    return argparse.Namespace(gpu="cpu", infer=infer, save_dir="/tmp",
+                              exp_name="parity", speakers=["oliver"],
+                              resume=False, pretrained_pth=None)
+
+
+def torch_config():
+    from reference_loader import load_reference, patch_tf_convs, ref_import
+
+    assert load_reference()
+    patch_tf_convs()
+    from reference_loader import patch_torch2_compat
+
+    patch_torch2_compat()
+    cfg = ref_import("trainer.config").load_JsonConfig(
+        "/root/reference/config/transformer.json")
+    cfg.Data.data_root = "/root/reference/demo_audio"
+    vq_wrap = os.path.join(DIR, "vq_for_wrappers.pth")
+    if not os.path.exists(vq_wrap):
+        import torch
+
+        os.makedirs(DIR, exist_ok=True)
+        saved = torch.load(VQ_TORCH, map_location="cpu", weights_only=False)
+        torch.save({"generator": {"VQ": saved["state"]["VQ"]}}, vq_wrap)
+    cfg.Model.vq_path = vq_wrap
+    return cfg
+
+
+def train_torch_wrapper(kind: str):
+    """kind: 'pred' | 'ref' — train the reference wrapper, resumable."""
+    import torch
+    from reference_loader import ref_import
+
+    cfg = torch_config()
+    mod = ref_import("nets.inpainting.predictor" if kind == "pred"
+                     else "nets.inpainting.refiner")
+    torch.manual_seed(0)
+    wrapper = mod.TrainWrapper(make_args(), cfg)
+    wrapper.device = torch.device("cpu")   # predictor.py:36 hardcodes 'cuda'
+    ckpt = os.path.join(DIR, f"torch_{kind}_{STEPS}.pth")
+    start = 0
+    if os.path.exists(ckpt):
+        saved = torch.load(ckpt, map_location="cpu", weights_only=False)
+        wrapper.load_state_dict(saved["state"])
+        start = saved["step"]
+        log(f"torch_{kind}: resumed at step {start}")
+    if start >= STEPS:
+        return wrapper
+    _, _, _, ds = load_data()
+    stream = batch_stream(ds, STEPS, seed0=1 if kind == "pred" else 2)
+    t0 = time.time()
+    for i, b in enumerate(stream):
+        if i < start:
+            continue
+        # reference epoch-based curricula: map steps onto a 100-"epoch" run
+        _, ld = wrapper(torch_bat(b, epoch=int(i * 100 / STEPS)))
+        if i % 25 == 0 or i == STEPS - 1:
+            torch.save({"state": wrapper.state_dict(), "step": i + 1}, ckpt)
+        if i % 100 == 0 or i == STEPS - 1:
+            keys = [k for k in ld if "loss" in k][:3]
+            log(f"torch_{kind} step {i}: " + ", ".join(
+                f"{k}={float(ld[k]):.4f}" for k in keys))
+    log(f"torch_{kind} trained in {time.time()-t0:.0f}s")
+    torch.save({"state": wrapper.state_dict(), "step": STEPS}, ckpt)
+    return wrapper
+
+
+def gen_torch():
+    """Sliding-window generation with the torch wrappers -> npz per clip."""
+    import torch
+    from reference_loader import ref_import
+
+    cfg = torch_config()
+    pred_mod = ref_import("nets.inpainting.predictor")
+    ref_mod = ref_import("nets.inpainting.refiner")
+    torch.manual_seed(0)
+    pred = pred_mod.TrainWrapper(make_args(infer=True), cfg)
+    refi = ref_mod.TrainWrapper(make_args(infer=True), cfg)
+    pred.device = refi.device = torch.device("cpu")
+    for w, kind in ((pred, "pred"), (refi, "ref")):
+        saved = torch.load(os.path.join(DIR, f"torch_{kind}_{STEPS}.pth"),
+                           map_location="cpu", weights_only=False)
+        assert saved["step"] >= STEPS, (kind, saved["step"])
+        w.load_state_dict(saved["state"])
+
+    clips, mean, std, _ = load_data()
+    from probtalk_tpu.core import body_parts
+
+    idx = body_parts.c_index(True)
+    outs, gen_seconds = {}, 0.0
+    with torch.no_grad():
+        for clip in clips:
+            full = (np.concatenate([clip.poses, clip.expression], -1)
+                    - mean) / std
+            gt = np.concatenate([full[:, :6], full[:, :330][:, idx],
+                                 full[:, 330:]], -1).T[None]  # (1, C, T)
+            t = gt.shape[-1]
+            aud = torch.from_numpy(
+                clip.aud_feat.T[None].astype(np.float32))     # (1, Ca, T)
+            text = torch.zeros((1, 768, t))
+            gt_t = torch.from_numpy(gt.astype(np.float32)).repeat(B_GEN, 1, 1)
+            mask = torch.zeros((B_GEN, 1, t))
+            import math
+
+            n_slices = 1 + math.ceil((t - 180) / 150)
+            pred_out = None
+            id_t = torch.tensor([int(clip.speaker)])
+            for i in range(n_slices):        # test_holisticbody.py:240-261
+                s = 0 if i == 0 else 150 + 180 * (i - 1)
+                e = 180 if i == 0 else 150 + 180 * i
+                p0, dt0 = pred.infer_on_batch(aud=aud[..., s:e],
+                                              text=text[..., s:e],
+                                              id=id_t, B=B_GEN,
+                                              gt_poses=gt_t[..., s:e],
+                                              mask=mask[..., s:e])
+                r0, dt1 = refi.infer_on_batch(aud=aud[..., s:e], B=B_GEN,
+                                              id=id_t.repeat(B_GEN),
+                                              gt_poses=gt_t[..., s:e],
+                                              mask=mask[..., s:e],
+                                              pred_poses=p0)
+                gen_seconds += dt0 + dt1
+                if pred_out is None:
+                    pred_out = r0
+                else:
+                    pred_out = torch.cat([pred_out, r0[..., 30:]], -1)
+                gt_t[..., s:e] = r0
+                mask[..., s:e] = 1
+            outs[clip.name] = pred_out.numpy().transpose(0, 2, 1)  # (B,T,C)
+            log(f"torch gen {clip.name}: {outs[clip.name].shape}")
+    np.savez(os.path.join(DIR, "gen_torch.npz"), gen_seconds=gen_seconds,
+             **outs)
+    log(f"torch generation total {gen_seconds:.1f}s (CPU)")
+
+
+def train_and_gen_jax():
+    """Fresh jax predictor+refiner at the same steps/batches; generate."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    from probtalk_tpu.models.vqvae import VQVAE
+    from probtalk_tpu.train.stages import (
+        PredictorStage, RefinerStage, make_predictor_train_step,
+        make_refiner_train_step,
+    )
+    from probtalk_tpu.train.state import create_train_state
+    from probtalk_tpu.train.trainer import Checkpointer
+    from probtalk_tpu.core import body_parts
+
+    clips, mean, std, ds = load_data()
+    idx = body_parts.c_index(True)
+
+    def fbhe(b):
+        return np.concatenate([b["poses"][..., :6], b["poses"][..., idx],
+                               b["expression"]], -1)
+
+    # the jax side of the SAME VQ pair (parity_campaign steps_1500)
+    vq = VQVAE(in_dim=376, embedding_dim=512, num_codes=128, groups=4,
+               hiddens=1024, res_layers=2)
+    x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
+    vq_state = create_train_state(vq, (x0,), jax.random.key(0),
+                                  optax.adam(1e-4),
+                                  init_kwargs={"train": True})
+    vq_ck = Checkpointer(os.path.join(DIR, "jax_vq"))
+    restored, _ = vq_ck.restore(vq_state)
+    if restored is None:
+        stream = batch_stream(ds, 1500, seed0=0)
+        from probtalk_tpu.train.steps import make_vq_train_step
+
+        step = make_vq_train_step(vq, donate=False)
+        key = jax.random.key(1)
+        for i, b in enumerate(stream):
+            key, k = jax.random.split(key)
+            vq_state, m = step(vq_state,
+                               {"poses_fbhe": jnp.asarray(fbhe(b))}, k)
+        vq_ck.save(0, vq_state, wait=True)
+        log("jax vq trained (1500 steps, parity batches)")
+    else:
+        vq_state = restored
+        log("jax vq restored")
+    vq_vars = {"params": vq_state.params, **vq_state.mutables}
+
+    pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD)
+    mask0 = jnp.zeros((BS, WINDOW, 1), jnp.float32)
+    codes0 = jnp.zeros((BS, 23, 4), jnp.int32)
+    spk0 = jnp.zeros((BS,), jnp.int32)
+    aud0 = jnp.zeros((BS, WINDOW, AUD), jnp.float32)
+    pstate = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
+                                jax.random.key(2), optax.adam(1e-4),
+                                init_kwargs={"train": True})
+    pck = Checkpointer(os.path.join(DIR, "jax_pred"))
+    restored, _ = pck.restore(pstate)
+    if restored is None:
+        stream = batch_stream(ds, STEPS, seed0=1)
+        pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
+        key = jax.random.key(3)
+        for i, b in enumerate(stream):
+            key, k = jax.random.split(key)
+            batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
+                     "aud_feat": jnp.asarray(b["aud_feat"]),
+                     "speaker": jnp.asarray(b["speaker"]),
+                     "epoch_ratio": np.float32(min(max(i / STEPS, 0.5), 1.0))}
+            pstate, m = pstep(pstate, batch, k)
+            if i % 200 == 0:
+                log(f"jax pred step {i}: ce {float(m['loss']):.4f}")
+        pck.save(0, pstate, wait=True)
+    else:
+        pstate = restored
+        log("jax pred restored")
+
+    ref = RefinerStage(in_dim=376, aud_dim=AUD)
+    rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
+                                jax.random.key(4), optax.adam(1e-4),
+                                init_kwargs={"train": True})
+    rck = Checkpointer(os.path.join(DIR, "jax_ref"))
+    restored, _ = rck.restore(rstate)
+    if restored is None:
+        stream = batch_stream(ds, STEPS, seed0=2)
+        rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
+        key = jax.random.key(5)
+        for i, b in enumerate(stream):
+            key, k = jax.random.split(key)
+            batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
+                     "aud_feat": jnp.asarray(b["aud_feat"]),
+                     "speaker": jnp.asarray(b["speaker"])}
+            rstate, m = rstep(rstate, batch, k)
+            if i % 200 == 0:
+                log(f"jax ref step {i}: loss {float(m['loss']):.4f}")
+        rck.save(0, rstate, wait=True)
+    else:
+        rstate = restored
+        log("jax ref restored")
+
+    # generation through the compiled streaming path
+    from probtalk_tpu.streaming import make_streaming_generate
+    from probtalk_tpu.eval.harness import device_sync
+
+    gen = make_streaming_generate(vq, vq_vars, pred, pstate, ref, rstate,
+                                  window=180, overlap=30)
+    outs, gen_seconds = {}, 0.0
+    key = jax.random.key(7)
+    for clip in clips:
+        key, k = jax.random.split(key)
+        aud = jnp.asarray(clip.aud_feat)[None].repeat(B_GEN, 0)
+        spk = jnp.full((B_GEN,), int(clip.speaker), jnp.int32)
+        device_sync(gen(key, aud, spk))          # warm per shape
+        t0 = time.perf_counter()
+        out = gen(k, aud, spk)
+        device_sync(out)
+        gen_seconds += time.perf_counter() - t0
+        outs[clip.name] = np.asarray(out)
+        log(f"jax gen {clip.name}: {outs[clip.name].shape}")
+    np.savez(os.path.join(DIR, "gen_jax.npz"), gen_seconds=gen_seconds,
+             **outs)
+    log(f"jax generation total {gen_seconds:.2f}s (TPU, warm)")
+
+
+def score():
+    """ONE shared embedder trio scores both systems' generations vs GT."""
+    import jax.numpy as jnp
+
+    from probtalk_tpu.cli.test_holistic import build_embedders
+    from probtalk_tpu.core import body_parts
+    from probtalk_tpu.eval.fgd import FGDEvaluator
+    from probtalk_tpu.eval.harness import unfold_windows
+    from probtalk_tpu.eval import metrics as M
+
+    clips, mean, std, _ = load_data()
+    idx = body_parts.c_index(True)
+    embed_dir = os.path.join(REPO, "experiments", "demo_ckpt")
+    extract = build_embedders(clips, mean, std, ckpt_dir=embed_dir)
+
+    results = {"config": {"steps": STEPS, "vq_steps": 1500, "batch_size": BS,
+                          "window": WINDOW, "B_gen": B_GEN,
+                          "embedders": "shared GT-trained trio "
+                                       "(experiments/demo_ckpt/emb_*)"}}
+    for side in ("torch", "jax"):
+        z = np.load(os.path.join(DIR, f"gen_{side}.npz"))
+        ev = FGDEvaluator(extract)
+        divs = []
+        for clip in clips:
+            gen = z[clip.name]
+            full = (np.concatenate([clip.poses, clip.expression], -1)
+                    - mean) / std
+            gt = np.concatenate([full[:, :6], full[:, :330][:, idx],
+                                 full[:, 330:]], -1)
+            t = min(gen.shape[1], gt.shape[0])
+            ev.push_samples(unfold_windows(gen[:, :t]),
+                            unfold_windows(gt[:t]))
+            divs.append(M.diversity(gen[:, :t]))
+        entry = {"diversity": float(np.mean(divs)),
+                 "gen_seconds": float(z["gen_seconds"])}
+        for which in ("fe", "bh", "fbhe"):
+            fd, fl1 = ev.get_scores(which)
+            entry[f"fgd_{which}"] = fd
+            entry[f"featdist_{which}"] = fl1
+        results[side] = entry
+        log(f"{side}: " + json.dumps(entry))
+    json.dump(results, open(OUT, "w"), indent=2)
+    log(f"wrote {OUT}")
+
+
+STAGES = {"torch_pred": lambda: train_torch_wrapper("pred"),
+          "torch_ref": lambda: train_torch_wrapper("ref"),
+          "gen_torch": gen_torch,
+          "jax": train_and_gen_jax,
+          "score": score}
+
+if __name__ == "__main__":
+    os.makedirs(DIR, exist_ok=True)
+    which = sys.argv[1:] or list(STAGES)
+    for name in which:
+        log(f"=== stage {name} ===")
+        STAGES[name]()

@@ -78,6 +78,26 @@ def _patch_cuda_to_cpu():
     to._ptlk_patched = True
     torch.Tensor.to = to
     torch.Tensor.cuda = lambda self, *a, **k: self
+    if not torch.cuda.is_available():
+        # the reference's timed infer paths call cuda.synchronize directly
+        torch.cuda.synchronize = lambda *a, **k: None
+        # ... and create tensors with device="cuda" literals
+        # (PTransformer.py:597 etc.) — remap factory device kwargs to cpu
+        for fname in ("zeros", "ones", "empty", "full", "tensor", "arange",
+                      "randn", "rand", "randint", "linspace", "eye"):
+            orig = getattr(torch, fname)
+            if getattr(orig, "_ptlk_patched", False):
+                continue
+
+            def make(orig):
+                def fn(*args, **kwargs):
+                    if "cuda" in str(kwargs.get("device", "")):
+                        kwargs["device"] = "cpu"
+                    return orig(*args, **kwargs)
+                fn._ptlk_patched = True
+                return fn
+
+            setattr(torch, fname, make(orig))
 
 
 def load_reference():
