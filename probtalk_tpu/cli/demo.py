@@ -149,14 +149,31 @@ def main(argv=None):
     smplx_npz = os.environ.get("smplx_npz_path")
     if smplx_npz and os.path.exists(smplx_npz):
         import jax.numpy as jnp
-        from probtalk_tpu.smplx import load_smplx, smplx_joints
+        from probtalk_tpu.smplx import load_smplx, smplx_forward
+        from probtalk_tpu.smplx.lbs import smplx_joints
         from probtalk_tpu.viz import RenderTool
 
         model = load_smplx(smplx_npz)
-        joints = np.asarray(smplx_joints(
-            model, jnp.zeros((300,)), jnp.asarray(motion)))
         rt = RenderTool(out_dir)
-        video = rt.render_sequences([joints[i] for i in range(len(joints))], base)
+        if args.whole_body:
+            # mesh video (reference RenderTool pyrender path,
+            # visualise/rendering.py:96-238 -> viz/rasterize.py)
+            m0 = jnp.asarray(motion[0])
+            flat = m0.reshape(-1, m0.shape[-1])
+            jaw, eyes = flat[:, 0:3], flat[:, 3:9]
+            go, body = flat[:, 9:12], flat[:, 12:75]
+            hands = flat[:, 75:165]
+            pose = jnp.concatenate([go, body, jaw, eyes, hands], -1)
+            out = smplx_forward(model, jnp.zeros((300,)), flat[:, 165:265],
+                                pose, return_verts=True)
+            verts = np.asarray(out["vertices"])
+            video = rt.render_mesh_sequences([verts], np.asarray(model.faces),
+                                             base + "_mesh")
+        else:
+            joints = np.asarray(smplx_joints(
+                model, jnp.zeros((300,)), jnp.asarray(motion)))
+            video = rt.render_sequences(
+                [joints[i] for i in range(len(joints))], base)
         print(f"rendered {video}")
 
 

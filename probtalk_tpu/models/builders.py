@@ -47,6 +47,10 @@ def build_predictor(config=None):
         use_audio=_m(config, "p_audio", "wav2vec") is not None,
         use_text=_m(config, "p_text", None) is not None,
         identity=_m(config, "identity", True),
+        # config.Model.transformer=false selects the GatedPixelCNN-1D
+        # decoder (reference predictornet.py:56-58)
+        decoder_type="transformer" if _m(config, "transformer", True)
+        else "pixel",
     )
 
 

@@ -68,6 +68,8 @@ class PredictorStage(nn.Module):
     identity: bool = True
     aud_dim: int = 768
     text_dim: int = 768
+    decoder_type: str = "transformer"   # 'transformer' | 'pixel'
+    # (the reference's config.Model.transformer flag, predictornet.py:56-58)
     dtype: object = None   # bf16 compute option
 
     def setup(self):
@@ -81,7 +83,7 @@ class PredictorStage(nn.Module):
             identity=self.identity, maskgit=self.maskgit,
             maskgit_T=self.maskgit_T, motion_context=self.motion_context,
             use_audio=self.use_audio, use_text=self.use_text,
-            dtype=self.dtype,
+            decoder_type=self.decoder_type, dtype=self.dtype,
         )
 
     def _encode_conditions(self, aud, text, train):

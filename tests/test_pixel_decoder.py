@@ -116,3 +116,58 @@ class TestGoldenVsTorch:
                                   jnp.asarray(cond)))
         assert out.shape == golden.shape
         np.testing.assert_allclose(out, golden, atol=2e-4, rtol=1e-3)
+
+
+class TestStageAndBuilderPlumbing:
+    def test_stage_pixel_decoder_trains_and_samples(self, rng):
+        from probtalk_tpu.train.stages import (
+            PredictorStage, make_predictor_train_step,
+        )
+        from probtalk_tpu.train.state import adamw, create_train_state
+        from probtalk_tpu.models.vqvae import VQVAE
+
+        cm, ca, t, bs = 20, 8, 16, 2
+        vq = VQVAE(in_dim=cm, embedding_dim=32, num_codes=K, groups=G,
+                   hiddens=16, res_layers=1)
+        x = jnp.zeros((bs, t, cm), jnp.float32)
+        vq_vars = vq.init({"params": jax.random.key(0),
+                           "quant": jax.random.key(1)}, x, train=True)
+        stage = PredictorStage(mot_dim=cm, num_code=K, groups=G, aud_dim=ca,
+                               decoder_type="pixel")
+        state = create_train_state(
+            stage, (x, jnp.zeros((bs, t // 8, G), jnp.int32),
+                    jnp.zeros((bs, t, 1)), jnp.zeros((bs,), jnp.int32),
+                    jnp.zeros((bs, t, ca))),
+            jax.random.key(2), adamw(1e-3), init_kwargs={"train": True})
+        step = make_predictor_train_step(stage, vq, vq_vars, donate=False)
+        batch = {"poses_fbhe": jnp.asarray(
+                     rng.normal(size=(bs, t, cm)).astype(np.float32)),
+                 "aud_feat": jnp.zeros((bs, t, ca)),
+                 "speaker": jnp.zeros((bs,), jnp.int32),
+                 "epoch_ratio": np.float32(1.0)}
+        l0 = None
+        for i in range(8):
+            state, m = step(state, batch, jax.random.key(i))
+            l0 = float(m["loss"]) if l0 is None else l0
+        assert float(m["loss"]) < l0   # pixel decoder learns
+
+        codes = stage.apply({"params": state.params, **state.mutables},
+                            jax.random.key(9), x, jnp.zeros((bs, t, 1)),
+                            jnp.zeros((bs,), jnp.int32),
+                            jnp.zeros((bs, t, ca)), method=stage.sample)
+        assert codes.shape == (bs, t // 8, G)
+
+    def test_builder_transformer_flag(self):
+        import probtalk_tpu.models.builders  # noqa: F401 (registers names)
+        from probtalk_tpu.models.registry import build_model
+
+        class Obj(dict):
+            __getattr__ = dict.get
+            def get(self, k, d=None):
+                return super().get(k, d)
+
+        cfg = Obj(Model=Obj(transformer=False))
+        stage = build_model("s2g_body_predictor", cfg)
+        assert stage.decoder_type == "pixel"
+        cfg2 = Obj(Model=Obj(transformer=True))
+        assert build_model("s2g_body_predictor", cfg2).decoder_type == "transformer"
