@@ -8,7 +8,9 @@ feature arrays aligned to motion frames from word-interval transcripts.
 The SHOW transcripts (.txt next to each wav) carry word timings:
     Transcript: Come in from the ocean.
       0.000 |   0.300 | Come | 97%
-Word embeddings are pluggable (``embed_fn``): a HF text model (gpt2 / bert /
+Word embeddings are pluggable (``embed_fn``): the flax GPT-2 encoder
+(``probtalk_tpu.text.make_gpt2_embed_fn`` — the reference's default text
+model, golden-parity'd vs HF torch), any HF text model (gpt2 / bert /
 clip / t5 — dims per ``nets/base.py:114-129``) when its weights are
 available, otherwise a deterministic hash-based fallback so the text
 conditioning path stays shape-complete without downloads.
@@ -92,6 +94,20 @@ def make_hf_embed_fn(model_name: str = "gpt2"):
         return out.mean(0).numpy().astype(np.float32)
 
     return embed
+
+
+def make_flax_embed_fn(variables=None, model: str = "gpt2", **kw):
+    """Word-embedding fn backed by the flax text encoder (TPU path).
+
+    ``variables`` from ``text.gpt2.convert_hf_gpt2`` when a GPT-2
+    checkpoint is locally available; random-init otherwise (still the
+    exact architecture, so downstream shapes/compute are production-true).
+    """
+    if model != "gpt2":
+        raise ValueError(f"flax text encoder implements gpt2; got {model}")
+    from probtalk_tpu.text.gpt2 import make_gpt2_embed_fn
+
+    return make_gpt2_embed_fn(variables, **kw)
 
 
 def text_features(words, n_frames: int, fps: float = 30.0,
