@@ -172,8 +172,18 @@ def gen_torch():
 
     idx = body_parts.c_index(True)
     outs, gen_seconds = {}, 0.0
+    # per-clip resume: CPU generation can exceed one run's time budget
+    part = os.path.join(DIR, "gen_torch_parts")
+    os.makedirs(part, exist_ok=True)
     with torch.no_grad():
         for clip in clips:
+            pf = os.path.join(part, f"{clip.name}.npz")
+            if os.path.exists(pf):
+                z = np.load(pf)
+                outs[clip.name] = z["gen"]
+                gen_seconds += float(z["seconds"])
+                log(f"torch gen {clip.name}: resumed")
+                continue
             full = (np.concatenate([clip.poses, clip.expression], -1)
                     - mean) / std
             gt = np.concatenate([full[:, :6], full[:, :330][:, idx],
@@ -187,7 +197,7 @@ def gen_torch():
             import math
 
             n_slices = 1 + math.ceil((t - 180) / 150)
-            pred_out = None
+            pred_out, clip_seconds = None, 0.0
             id_t = torch.tensor([int(clip.speaker)])
             for i in range(n_slices):        # test_holisticbody.py:240-261
                 s = 0 if i == 0 else 150 + 180 * (i - 1)
@@ -202,15 +212,18 @@ def gen_torch():
                                               gt_poses=gt_t[..., s:e],
                                               mask=mask[..., s:e],
                                               pred_poses=p0)
-                gen_seconds += dt0 + dt1
+                clip_seconds += dt0 + dt1
                 if pred_out is None:
                     pred_out = r0
                 else:
                     pred_out = torch.cat([pred_out, r0[..., 30:]], -1)
                 gt_t[..., s:e] = r0
                 mask[..., s:e] = 1
+            gen_seconds += clip_seconds
             outs[clip.name] = pred_out.numpy().transpose(0, 2, 1)  # (B,T,C)
-            log(f"torch gen {clip.name}: {outs[clip.name].shape}")
+            np.savez(pf, gen=outs[clip.name], seconds=clip_seconds)
+            log(f"torch gen {clip.name}: {outs[clip.name].shape} "
+                f"({clip_seconds:.1f}s)")
     np.savez(os.path.join(DIR, "gen_torch.npz"), gen_seconds=gen_seconds,
              **outs)
     log(f"torch generation total {gen_seconds:.1f}s (CPU)")

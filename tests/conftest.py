@@ -34,7 +34,7 @@ _SLOW_MODULES = {
     "test_layers", "test_sequence_parallel", "test_torch_parity",
     "test_torch_parity_transformers", "test_torch_parity_wav2vec2",
     "test_torch_parity_baselines", "test_cli_eval", "test_tensor_parallel",
-    "test_rasterize", "test_smplx_golden",
+    "test_rasterize", "test_smplx_golden", "test_pipeline_parallel",
 }
 
 
