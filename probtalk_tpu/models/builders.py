@@ -113,6 +113,21 @@ def build_audio2gestures(config=None):
     return Audio2Gestures()
 
 
+@register_model("Audio2Gestures")
+def build_audio2gestures_exact(config=None):
+    """The exact-architecture A2G family (config/Audio2Gestures.json:
+    model_name 'Audio2Gestures'; nets/Audio2Gestures.py Generator)."""
+    from probtalk_tpu.models.legacy import A2GGenerator
+
+    return A2GGenerator(
+        out_dim=_m(config, "out_dim", 330),
+        audio_hidden=_m(config, "audio_hidden_size", 32),
+        pose_hidden=_m(config, "pose_hidden_size", 32),
+        dropout=_m(config, "dropout", 0.2),
+        with_mapping_net=_m(config, "with_mapping_net", True),
+    )
+
+
 @register_model("speech2gesture")
 def build_speech2gesture(config=None):
     from probtalk_tpu.models.legacy import Speech2GestureG

@@ -63,3 +63,31 @@ def test_make_splits_demo_layout():
     # disjoint
     all_set = [str(x) for v in splits.values() for x in v]
     assert len(all_set) == len(set(all_set))
+
+
+class TestShippedConfigs:
+    """Every shipped config loads and (when upstream has a net for it)
+    its Model.model_name resolves in the registry — the full
+    config-surface of /root/reference/config/*.json."""
+
+    def test_all_configs_load_and_build(self):
+        import glob
+        import os
+
+        from probtalk_tpu.models import builders  # noqa: F401 (registers)
+        from probtalk_tpu.models.registry import MODEL_REGISTRY
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        paths = sorted(glob.glob(os.path.join(root, "*.json")))
+        assert len(paths) >= 10
+        for p in paths:
+            cfg = load_config(p)
+            name = cfg.Model.get("model_name") if "Model" in cfg else None
+            if name is None or name == "StyleGestures":
+                # base.json has no Model; StyleGestures has no net upstream
+                continue
+            assert name in MODEL_REGISTRY, (p, name)
+            from probtalk_tpu.models.registry import build_model
+
+            module = build_model(name, cfg)   # module construction is lazy
+            assert module is not None
