@@ -31,7 +31,7 @@ def find_clips(data_root: str, speakers):
 
 def build_cache(data_root: str, cache_dir: str, speakers, hand_component_path: str,
                 audio_feat: str = "mfcc", audio_feat_dim: int = 64,
-                convert_to_6d: bool = True):
+                convert_to_6d: bool = True, max_clips: int = None):
     from probtalk_tpu.core.body_parts import SPEAKER_ID
     from probtalk_tpu.data.preprocess import preprocess_clip, compute_norm_stats
 
@@ -39,6 +39,8 @@ def build_cache(data_root: str, cache_dir: str, speakers, hand_component_path: s
     poses_all, expr_all = [], []
     count = 0
     for sp, clip, base in find_clips(data_root, speakers):
+        if max_clips is not None and count >= max_clips:
+            break
         out_path = os.path.join(cache_dir, f"{sp}__{clip}.npz")
         if os.path.exists(out_path):
             cached = np.load(out_path)

@@ -143,6 +143,33 @@ def make_pixelcnn_train_step(prior, vq_model, vq_variables, donate: bool = True)
     return step
 
 
+def make_body_ae_train_step(model, donate: bool = True):
+    """s2g_body_ae: plain AE reconstruction (reference nets/body_ae.py
+    losses: L1 + velocity). batch: {'motion' (B,T,C)}."""
+
+    def loss_fn(params, mutables, batch, rng):
+        variables = {"params": params, **mutables}
+        (recon, _z), new_mut = model.apply(variables, batch["motion"],
+                                           train=True,
+                                           mutable=["batch_stats"])
+        rec = jnp.mean(jnp.abs(recon - batch["motion"]))
+        vel = jnp.mean(jnp.abs(jnp.diff(recon, axis=1) -
+                               jnp.diff(batch["motion"], axis=1)))
+        total = rec + vel
+        return total, (new_mut, {"loss": total, "rec_loss": rec,
+                                 "velocity_loss": vel})
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, batch, rng):
+        (_, (new_mut, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.mutables, batch, rng)
+        new_state = state.apply_gradients(grads, new_mutables=new_mut)
+        ld["grad_norm"] = optax_global_norm(grads)
+        return new_state, ld
+
+    return step
+
+
 def make_gan_train_steps(gen, disc, recon_weight: float = 1.0,
                          gan_weight: float = 1.0):
     """Speech2Gesture GAN: alternating G/D steps (reference

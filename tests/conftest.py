@@ -35,6 +35,7 @@ _SLOW_MODULES = {
     "test_torch_parity_transformers", "test_torch_parity_wav2vec2",
     "test_torch_parity_baselines", "test_cli_eval", "test_tensor_parallel",
     "test_rasterize", "test_smplx_golden", "test_pipeline_parallel",
+    "test_cli_train_families",
 }
 
 
