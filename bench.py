@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -44,7 +45,8 @@ def main():
     wav_len = t * sr // 30                      # 6 s of 16 kHz audio
 
     # real-size stages (randomly initialized — throughput only)
-    w2v = Wav2Vec2Encoder()
+    w2v = Wav2Vec2Encoder(
+        dtype=jnp.bfloat16 if os.environ.get("BENCH_W2V_BF16") else None)
     w2v_vars = w2v.init(jax.random.key(9),
                         jnp.zeros((1, sr), jnp.float32), n_frames=30)
 
@@ -140,6 +142,41 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / north_star, 3),
     }))
+
+    if "--breakdown" not in sys.argv:
+        return
+
+    # per-stage split (diagnostic; separate jit regions, so the sum exceeds
+    # the fused number above — inter-stage fusion is real)
+    stages = {
+        "wav2vec2": jax.jit(lambda v, wav: w2v.apply(v, wav, n_frames=t)),
+        "maskgit_sample": jax.jit(lambda v, key, feats: pred_stage.apply(
+            v, key, x, mask, spk, feats, method=pred_stage.sample)),
+        "pq_decode+refine": jax.jit(lambda vv, rv, codes, feats: ref_stage.apply(
+            rv, resize_time(vq.apply(vv, codes, train=False,
+                                     method=vq.decode_codes), t),
+            feats, mask, spk, train=False)),
+        "postprocess": jax.jit(lambda refined: body_parts.part2full(
+            d6_to_aa_flat(normalize.denormalize(
+                refined, mean, std, shape="fbhe", idx=cidx,
+            )[..., : jaw_d + 270].reshape(-1, 276)).reshape(b, t, 138))),
+    }
+    feats = stages["wav2vec2"](w2v_vars, wav_np)
+    codes = stages["maskgit_sample"](pred_vars, jax.random.key(1), feats)
+    refined = stages["pq_decode+refine"](vq_vars, ref_vars, codes, feats)
+    args = {"wav2vec2": (w2v_vars, wav_np),
+            "maskgit_sample": (pred_vars, jax.random.key(1), feats),
+            "pq_decode+refine": (vq_vars, ref_vars, codes, feats),
+            "postprocess": (refined,)}
+    out = {}
+    for name, fn in stages.items():
+        device_sync(fn(*args[name]))              # warm
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r = fn(*args[name])
+        device_sync(r)
+        out[name] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
+    print(json.dumps({"breakdown_ms_per_call": out, "batch": b, "window": t}))
 
 
 if __name__ == "__main__":

@@ -34,14 +34,18 @@ class FeatureExtractor(nn.Module):
     """Raw waveform (B, S) -> (B, S/320, 512). Group-norm on the first layer
     (wav2vec2-base 'group' norm mode)."""
 
+    dtype: Optional[jnp.dtype] = None   # bf16 compute option (norms stay f32)
+
     @nn.compact
     def __call__(self, x):
         h = x[..., None]
         for i, (dim, k, s) in enumerate(_CONV_LAYERS):
             h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
-                        name=f"conv_{i}")(h)
+                        dtype=self.dtype, name=f"conv_{i}")(h)
             if i == 0:
-                h = nn.GroupNorm(num_groups=dim, epsilon=1e-5, name="gn_0")(h)
+                h = nn.GroupNorm(num_groups=dim, epsilon=1e-5,
+                                 dtype=jnp.float32, name="gn_0")(h)
+                h = h.astype(self.dtype or h.dtype)
             h = nn.gelu(h, approximate=False)   # HF uses exact (erf) GELU
         return h
 
@@ -51,20 +55,24 @@ class TransformerLayer(nn.Module):
     heads: int = 12
     ffn: int = 3072
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         det = not train
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim, dropout_rate=self.dropout,
-            deterministic=det, force_fp32_for_softmax=True, name="attn")(x, x)
+            deterministic=det, force_fp32_for_softmax=True, dtype=self.dtype,
+            name="attn")(x, x)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=jnp.float32)(x + h)
-        h = nn.Dense(self.ffn, name="fc1")(x)
+        x = x.astype(self.dtype or x.dtype)
+        h = nn.Dense(self.ffn, dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=jnp.float32)(x + h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=jnp.float32)(x + h)
+        return h.astype(self.dtype or h.dtype)
 
 
 class Wav2Vec2Encoder(nn.Module):
@@ -76,13 +84,15 @@ class Wav2Vec2Encoder(nn.Module):
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None   # bf16 compute (f32 params/norms)
 
     @nn.compact
     def __call__(self, waveform, n_frames: Optional[int] = None,
                  train: bool = False):
         """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
         S/16000*30). None keeps the native 50 fps."""
-        feat = FeatureExtractor(name="feature_extractor")(waveform)
+        feat = FeatureExtractor(dtype=self.dtype,
+                                name="feature_extractor")(waveform)
 
         # 50 fps -> motion fps alignment (the reference's core patch,
         # nets/spg/wav2vec.py:98-101: interpolate BETWEEN the feature
@@ -96,22 +106,25 @@ class Wav2Vec2Encoder(nn.Module):
                                     antialias=False)
 
         feat = nn.LayerNorm(epsilon=1e-5, name="feat_norm", dtype=jnp.float32)(feat)
-        feat = nn.Dense(self.dim, name="feat_proj")(feat)
+        feat = feat.astype(self.dtype or feat.dtype)
+        feat = nn.Dense(self.dim, dtype=self.dtype, name="feat_proj")(feat)
 
         # grouped conv positional embedding
         pos = nn.Conv(self.dim, (self.conv_pos_kernel,),
                       feature_group_count=self.conv_pos_groups,
                       padding=[(self.conv_pos_kernel // 2,
                                 self.conv_pos_kernel // 2)],
-                      name="pos_conv")(feat)
+                      dtype=self.dtype, name="pos_conv")(feat)
         if self.conv_pos_kernel % 2 == 0:
             pos = pos[:, :-1]
         h = feat + nn.gelu(pos, approximate=False)
         h = nn.LayerNorm(epsilon=1e-5, name="enc_norm", dtype=jnp.float32)(h)
+        h = h.astype(self.dtype or h.dtype)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         for i in range(self.layers):
-            h = TransformerLayer(self.dim, self.heads, name=f"layer_{i}")(h, train)
-        return h
+            h = TransformerLayer(self.dim, self.heads, dtype=self.dtype,
+                                 name=f"layer_{i}")(h, train)
+        return h.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,23 @@ class TestHFConverter:
         out = enc.apply(variables, x, n_frames=15)
         assert out.shape == (1, 15, dim)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestBF16Compute:
+    def test_bf16_close_to_f32(self, rng):
+        """dtype=bf16 runs the same params and stays within bf16 tolerance
+        of the f32 path (norms/softmax pinned f32)."""
+        import jax
+        import jax.numpy as jnp
+
+        from probtalk_tpu.audio.wav2vec2 import Wav2Vec2Encoder
+
+        f32 = Wav2Vec2Encoder(layers=2)
+        wav = jnp.asarray(0.1 * rng.normal(size=(1, 8000)), jnp.float32)
+        v = f32.init(jax.random.key(0), wav, n_frames=15)
+        a = f32.apply(v, wav, n_frames=15)
+        b16 = Wav2Vec2Encoder(layers=2, dtype=jnp.bfloat16)
+        b = b16.apply(v, wav, n_frames=15)
+        assert b.dtype == jnp.float32        # output cast back
+        denom = float(jnp.abs(a).mean())
+        assert float(jnp.abs(a - b).mean()) / denom < 0.05
