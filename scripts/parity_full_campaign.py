@@ -236,6 +236,7 @@ def train_and_gen_jax():
     import optax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from probtalk_tpu.models.vqvae import VQVAE
     from probtalk_tpu.train.stages import (
         PredictorStage, RefinerStage, make_predictor_train_step,
@@ -252,11 +253,16 @@ def train_and_gen_jax():
         return np.concatenate([b["poses"][..., :6], b["poses"][..., idx],
                                b["expression"]], -1)
 
-    # the jax side of the SAME VQ pair (parity_campaign steps_1500)
+    # the jax side of the SAME VQ pair (parity_campaign steps_1500).
+    # VQ training itself needs 8x-divisible windows (the 8x-downsampled
+    # code grid must decode back to the window length), so the 180-frame
+    # campaign windows are cropped to 176 here — exactly the reference's
+    # own config split (vq.json trains at 176, transformer.json at 180).
     vq = VQVAE(in_dim=376, embedding_dim=512, num_codes=128, groups=4,
                hiddens=1024, res_layers=2)
     x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
-    vq_state = create_train_state(vq, (x0,), jax.random.key(0),
+    x0_vq = jnp.zeros((BS, 176, 376), jnp.float32)
+    vq_state = create_train_state(vq, (x0_vq,), jax.random.key(0),
                                   optax.adam(1e-4),
                                   init_kwargs={"train": True})
     vq_ck = Checkpointer(os.path.join(DIR, "jax_vq"))
@@ -270,7 +276,8 @@ def train_and_gen_jax():
         for i, b in enumerate(stream):
             key, k = jax.random.split(key)
             vq_state, m = step(vq_state,
-                               {"poses_fbhe": jnp.asarray(fbhe(b))}, k)
+                               {"poses_fbhe": jnp.asarray(fbhe(b)[:, :176])},
+                               k)
         vq_ck.save(0, vq_state, wait=True)
         log("jax vq trained (1500 steps, parity batches)")
     else:
@@ -287,47 +294,57 @@ def train_and_gen_jax():
                                 jax.random.key(2), optax.adam(1e-4),
                                 init_kwargs={"train": True})
     pck = Checkpointer(os.path.join(DIR, "jax_pred"))
-    restored, _ = pck.restore(pstate)
-    if restored is None:
+    restored, pstart = pck.restore(pstate)
+    if restored is not None:
+        pstate = restored
+        pstart += 1
+        log(f"jax pred restored at step {pstart}")
+    else:
+        pstart = 0
+    if pstart < STEPS:
         stream = batch_stream(ds, STEPS, seed0=1)
         pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
         key = jax.random.key(3)
         for i, b in enumerate(stream):
             key, k = jax.random.split(key)
+            if i < pstart:
+                continue
             batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
                      "aud_feat": jnp.asarray(b["aud_feat"]),
                      "speaker": jnp.asarray(b["speaker"]),
                      "epoch_ratio": np.float32(min(max(i / STEPS, 0.5), 1.0))}
             pstate, m = pstep(pstate, batch, k)
-            if i % 200 == 0:
+            if i % 100 == 0 or i == STEPS - 1:
                 log(f"jax pred step {i}: ce {float(m['loss']):.4f}")
-        pck.save(0, pstate, wait=True)
-    else:
-        pstate = restored
-        log("jax pred restored")
+                pck.save(i, pstate, wait=True)
 
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
     rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
                                 jax.random.key(4), optax.adam(1e-4),
                                 init_kwargs={"train": True})
     rck = Checkpointer(os.path.join(DIR, "jax_ref"))
-    restored, _ = rck.restore(rstate)
-    if restored is None:
+    restored, rstart = rck.restore(rstate)
+    if restored is not None:
+        rstate = restored
+        rstart += 1
+        log(f"jax ref restored at step {rstart}")
+    else:
+        rstart = 0
+    if rstart < STEPS:
         stream = batch_stream(ds, STEPS, seed0=2)
         rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
         key = jax.random.key(5)
         for i, b in enumerate(stream):
             key, k = jax.random.split(key)
+            if i < rstart:
+                continue
             batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
                      "aud_feat": jnp.asarray(b["aud_feat"]),
                      "speaker": jnp.asarray(b["speaker"])}
             rstate, m = rstep(rstate, batch, k)
-            if i % 200 == 0:
+            if i % 100 == 0 or i == STEPS - 1:
                 log(f"jax ref step {i}: loss {float(m['loss']):.4f}")
-        rck.save(0, rstate, wait=True)
-    else:
-        rstate = restored
-        log("jax ref restored")
+                rck.save(i, rstate, wait=True)
 
     # generation through the compiled streaming path
     from probtalk_tpu.streaming import make_streaming_generate
