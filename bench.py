@@ -47,14 +47,14 @@ def main():
     # real-size stages (randomly initialized — throughput only)
     w2v = Wav2Vec2Encoder(
         dtype=jnp.bfloat16 if os.environ.get("BENCH_W2V_BF16") else None)
-    w2v_vars = w2v.init(jax.random.key(9),
-                        jnp.zeros((1, sr), jnp.float32), n_frames=30)
+    w2v_vars = jax.jit(lambda r, x: w2v.init(r, x, n_frames=30))(
+        jax.random.key(9), jnp.zeros((1, sr), jnp.float32))
 
     vq = VQVAE(in_dim=cm, embedding_dim=512, num_codes=128, groups=4,
                hiddens=1024, res_layers=2)
     x = jnp.zeros((b, t, cm), jnp.float32)
-    vq_vars = vq.init({"params": jax.random.key(0), "quant": jax.random.key(1)},
-                      x, train=True)
+    vq_vars = jax.jit(lambda r, x: vq.init(r, x, train=True))(
+        {"params": jax.random.key(0), "quant": jax.random.key(1)}, x)
 
     pred_stage = PredictorStage(mot_dim=cm, num_code=128, groups=4,
                                 dec_layers=6, aud_dim=ca, maskgit_T=8)

@@ -216,8 +216,10 @@ def make_wav2vec_feature_fn(variables=None, fps: float = 30.0,
     ``convert_hf_wav2vec2``; random init otherwise."""
     model = Wav2Vec2Encoder(**model_kw)
     if variables is None:
-        variables = model.init(jax.random.key(seed),
-                               jnp.zeros((1, sr), jnp.float32), n_frames=30)
+        # jitted init: eager flax init is minutes-slow over a remote link
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, n_frames=30)
+        )(jax.random.key(seed), jnp.zeros((1, sr), jnp.float32))
 
     def feature_fn(wav: np.ndarray) -> np.ndarray:
         n = max(int(len(wav) / sr * fps), 1)

@@ -27,20 +27,45 @@ import numpy as np
 TEXT_DIMS = {"gpt2": 768, "bert": 768, "t5": 768, "clip": 512, "ton": 3}
 
 _LINE = re.compile(
-    r"^\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*(.+?)\s*\|\s*[\d.]+%?\s*$"
+    r"^\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*(.+?)\s*\|\s*([\d.]+)%?\s*$"
 )
+_SENT = re.compile(r"(?<=Transcript: ).*")
 
 
-def parse_transcript(path: str) -> List[Tuple[float, float, str]]:
-    """-> [(start_sec, end_sec, word), ...] over all transcript sections."""
+def parse_transcript(path: str, with_confidence: bool = False):
+    """-> [(start_sec, end_sec, word), ...] over all transcript sections;
+    with_confidence adds the per-word confidence in [0, 1] as a 4th
+    element (the reference scales features by it, get_textfeat_bin)."""
     words = []
     with open(path, errors="replace") as f:
         for line in f:
             m = _LINE.match(line)
             if m:
-                words.append((float(m.group(1)), float(m.group(2)),
-                              m.group(3).strip()))
+                item = (float(m.group(1)), float(m.group(2)),
+                        m.group(3).strip())
+                if with_confidence:
+                    item += (float(m.group(4)) / 100.0,)
+                words.append(item)
     return words
+
+
+def parse_sentences(path: str):
+    """-> [(sentence, [(start, end, word, confidence), ...]), ...] — each
+    'Transcript:' section with its timed words (foundation_models
+    get_textfeat_bin parses the same structure)."""
+    sents: List = []
+    with open(path, errors="replace") as f:
+        for line in f:
+            s = _SENT.findall(line)
+            if s:
+                sents.append((s[0].strip(), []))
+                continue
+            m = _LINE.match(line)
+            if m and sents:
+                sents[-1][1].append((float(m.group(1)), float(m.group(2)),
+                                     m.group(3).strip(),
+                                     float(m.group(4)) / 100.0))
+    return sents
 
 
 def word_frame_intervals(words, n_frames: int, fps: float = 30.0):
@@ -94,6 +119,57 @@ def make_hf_embed_fn(model_name: str = "gpt2"):
         return out.mean(0).numpy().astype(np.float32)
 
     return embed
+
+
+def text_features_tokens(sentences, n_frames: int, fps: float = 30.0,
+                         encode_fn: Optional[Callable] = None,
+                         tokenize_fn: Optional[Callable] = None,
+                         dim: int = 768,
+                         pad_vector: Optional[np.ndarray] = None) -> np.ndarray:
+    """(T, dim) token-level text features — the reference's
+    ``get_textfeat_bin`` (foundation_models.py:229-335): each sentence is
+    encoded WHOLE (tokens see full sentence context), each word's frame
+    interval is split into one sub-interval per token, each sub-interval
+    carries that token's hidden state scaled by the word's confidence;
+    silence after the last word gets ``pad_vector``.
+
+    sentences: from ``parse_sentences``. encode_fn(list_of_token_ids) ->
+    (n_tokens, dim) hidden states (e.g. the flax GPT-2 last hidden
+    states); tokenize_fn(word) -> list[int].
+    """
+    if tokenize_fn is None:
+        tokenize_fn = lambda w: ([b % 50257 for b in w.lower().encode()]
+                                 or [0])
+    if encode_fn is None:
+        def encode_fn(ids):
+            return np.stack([hash_embed(str(i), dim) for i in ids])
+    feat = np.zeros((n_frames, dim), np.float32)
+    covered = np.zeros(n_frames, bool)
+    last_end = 0
+    for sentence, words in sentences:
+        if not sentence or not words:
+            continue
+        tok_per_word = [tokenize_fn(w) for _, _, w, _ in words]
+        flat = [t for toks in tok_per_word for t in toks]
+        states = np.asarray(encode_fn(flat), np.float32)
+        k = 0
+        for (s, e, _w, conf), toks in zip(words, tok_per_word):
+            n = len(toks)
+            fs = max(int(np.floor(s * fps)), 0)
+            fe = min(max(int(np.ceil(e * fps)), fs + 1), n_frames)
+            last_end = max(last_end, fe)
+            if fs >= n_frames:
+                k += n
+                continue
+            edges = np.linspace(fs, fe, n + 1).astype(int)
+            for j in range(n):
+                a, b = edges[j], max(edges[j + 1], edges[j] + 1)
+                feat[a:min(b, n_frames)] = states[k + j] * conf
+                covered[a:min(b, n_frames)] = True
+            k += n
+    if pad_vector is not None:
+        feat[~covered] = pad_vector
+    return feat
 
 
 def make_flax_embed_fn(variables=None, model: str = "gpt2", **kw):

@@ -121,3 +121,20 @@ def mode_transition_consistency(pred_seq: np.ndarray, gt_seq: np.ndarray,
     t_len = min(pred_seq.shape[1], gt_seq.shape[1])
     accuracy = float(np.mean(pred_seq[:, :t_len] == gt_seq[:, :t_len]))
     return precision, recall, accuracy
+
+
+def collect_quality_samples(gt_by_clip, pred_by_model_by_clip):
+    """Assemble the 'quality samples' dump of the legacy 2D eval
+    (``evaluation/get_quality_samples.py:27-61``): per model, the
+    valid-point sequences of every test clip concatenated along time.
+
+    gt_by_clip: [(T_i, 274) 2D keypoint arrays]; pred_by_model_by_clip:
+    {model_name: [(B, T_i, 274) arrays]} — returns {'gt': (1, sum_T, 108),
+    model_name: (1, sum_T, 108), ...} ready to json-dump.
+    """
+    out = {"gt": np.concatenate(
+        [valid_points(g[None])[0:1] for g in gt_by_clip], axis=1)}
+    for name, clips in pred_by_model_by_clip.items():
+        out[name] = np.concatenate(
+            [valid_points(p)[0:1] for p in clips], axis=1)
+    return out

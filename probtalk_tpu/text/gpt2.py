@@ -129,6 +129,37 @@ def convert_hf_gpt2(hf_state_dict: dict) -> dict:
     return {"params": p}
 
 
+def make_gpt2_encode_fn(variables=None, seed: int = 0, pad_to: int = 64,
+                        **model_kw):
+    """-> fn(list[int]) -> (n_tokens, dim) per-token last hidden states —
+    the sentence-level encoder of the reference's ``get_textfeat_bin``
+    (foundation_models.py:277-280: whole-sentence GPT-2 forward, one state
+    per token). Static ``pad_to`` bucketing keeps it one XLA program;
+    causality makes trailing-pad truncation exact."""
+    import numpy as _np
+
+    model = GPT2Encoder(**model_kw)
+    if variables is None:
+        # jitted init: eager flax init dispatches per-op over a remote
+        # device link (minutes for a 12-layer stack)
+        variables = jax.jit(model.init)(jax.random.key(seed),
+                                        jnp.zeros((1, 4), jnp.int32))
+    apply = jax.jit(lambda v, ids: model.apply(v, ids))
+
+    def encode(ids):
+        chunks = []
+        for i in range(0, max(len(ids), 1), pad_to):
+            c = list(ids[i:i + pad_to]) or [0]
+            arr = _np.zeros((1, pad_to), _np.int32)
+            arr[0, : len(c)] = c
+            h = _np.asarray(apply(variables, jnp.asarray(arr))[0][: len(c)],
+                            _np.float32)
+            chunks.append(h)
+        return _np.concatenate(chunks, 0)
+
+    return encode
+
+
 def make_gpt2_embed_fn(variables=None, tokenize_fn=None, dim: int = 768,
                        seed: int = 0, pad_to: int = 16, **model_kw):
     """-> fn(word) -> (dim,) embedding: GPT-2 last hidden states mean-pooled
@@ -142,8 +173,8 @@ def make_gpt2_embed_fn(variables=None, tokenize_fn=None, dim: int = 768,
     """
     model = GPT2Encoder(dim=dim, **model_kw)
     if variables is None:
-        variables = model.init(jax.random.key(seed),
-                               jnp.zeros((1, 4), jnp.int32))
+        variables = jax.jit(model.init)(jax.random.key(seed),
+                                        jnp.zeros((1, 4), jnp.int32))
     if tokenize_fn is None:
         vocab = model.vocab
 

@@ -110,3 +110,16 @@ class TestBatchLVD:
         v2 = M.batch_lvd(gt, pr, symmetrical=True)
         assert np.isfinite(v1) and np.isfinite(v2)
         assert M.batch_lvd(gt, gt[None].repeat(2, 0)) < 1e-6
+
+
+def test_collect_quality_samples():
+    from probtalk_tpu.eval.legacy_2d import collect_quality_samples
+
+    rng = np.random.default_rng(0)
+    gt = [rng.normal(size=(30, 274)).astype(np.float32),
+          rng.normal(size=(20, 274)).astype(np.float32)]
+    preds = {"ours": [rng.normal(size=(4, 30, 274)).astype(np.float32),
+                      rng.normal(size=(4, 20, 274)).astype(np.float32)]}
+    out = collect_quality_samples(gt, preds)
+    assert out["gt"].shape == (1, 50, 108)
+    assert out["ours"].shape == (1, 50, 108)

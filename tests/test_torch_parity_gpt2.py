@@ -94,3 +94,45 @@ class TestGPT2Parity:
         assert feat.shape == (30, 768)
         assert np.abs(feat[0]).sum() > 0          # word frames carry features
         assert np.abs(feat[-1]).sum() == 0        # silence is zeros
+
+
+class TestTextFeatBin:
+    def test_token_level_features_match_hf(self, hf_small, tmp_path):
+        """text_features_tokens == the reference's get_textfeat_bin
+        semantics with a torch GPT-2: whole-sentence encode, per-token
+        interval splat scaled by confidence."""
+        import numpy as np
+        from probtalk_tpu.data import text as T
+        from probtalk_tpu.text.gpt2 import make_gpt2_encode_fn
+
+        path = tmp_path / "t.txt"
+        path.write_text("Transcript: Come in.\n"
+                        "  0.000 |   0.300 | Come | 80%\n"
+                        "  0.300 |   0.500 | in | 50%\n")
+        sents = T.parse_sentences(str(path))
+        assert sents[0][0] == "Come in."
+        assert sents[0][1][1][3] == 0.5
+
+        def tok(word):
+            return [b % 1000 for b in word.lower().encode()] or [0]
+
+        variables = convert_hf_gpt2(hf_small.state_dict())
+        encode = make_gpt2_encode_fn(variables, vocab=1000, layers=4,
+                                     max_pos=128)
+        feat = T.text_features_tokens(sents, n_frames=30, encode_fn=encode,
+                                      tokenize_fn=tok)
+        assert feat.shape == (30, 768)
+
+        # golden: torch forward over the same flat token ids
+        flat = tok("come") + tok("in")
+        with torch.no_grad():
+            states = hf_small(torch.tensor([flat])).last_hidden_state[0].numpy()
+        # frame 0 carries the first token of 'Come' at confidence 0.8
+        np.testing.assert_allclose(feat[0], states[0] * 0.8,
+                                   atol=1e-4, rtol=1e-4)
+        # frames in (0.3, 0.5)s carry 'in' tokens at confidence 0.5;
+        # frame 9 (0.3s) starts the 'in' interval
+        np.testing.assert_allclose(feat[9], states[4] * 0.5,
+                                   atol=1e-4, rtol=1e-4)
+        # trailing silence is zeros (no pad vector given)
+        assert np.abs(feat[-1]).sum() == 0
