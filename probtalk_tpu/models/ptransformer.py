@@ -94,7 +94,7 @@ class StyledDecoderLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None   # bf16 compute, f32 params/norms
 
     @nn.compact
-    def __call__(self, x, cond, label_embed, *, causal_mask=None, train: bool = False):
+    def __call__(self, x, cond, label_embed, causal_mask=None, train: bool = False):
         det = not train
 
         def attn(name):
@@ -160,6 +160,7 @@ class PTransformer(nn.Module):
     choice_temperature: float = 4.5
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None   # bf16 compute option
+    remat: bool = False  # per-layer activation checkpointing (HBM <-> FLOPs)
 
     @property
     def mask_id(self) -> int:
@@ -172,10 +173,15 @@ class PTransformer(nn.Module):
         self.time_pe = PositionalEncoding(self.dim, self.max_len, self.sine_pe, name="PE")
         self.product_pe = PositionalEncoding(self.dim, self.groups, self.sine_pe,
                                              name="product_PE")
+        # remat: recompute each decoder layer's activations in backward
+        # instead of storing them — long-window training at ~2/3 the
+        # activation HBM for one extra forward of FLOPs
+        layer_cls = (nn.remat(StyledDecoderLayer, static_argnums=(5,))
+                     if self.remat else StyledDecoderLayer)
         self.decoder = [
-            StyledDecoderLayer(self.dim, self.heads, styled=self.identity,
-                               dropout=self.dropout, dtype=self.dtype,
-                               name=f"layer_{i}")
+            layer_cls(self.dim, self.heads, styled=self.identity,
+                      dropout=self.dropout, dtype=self.dtype,
+                      name=f"layer_{i}")
             for i in range(self.layers)
         ]
         self.out_hidden = nn.Dense(512, name="out_hidden")
@@ -205,7 +211,7 @@ class PTransformer(nn.Module):
             mask = nn.make_causal_mask(jnp.zeros((b, L)))
         x = tok_embeds.astype(jnp.float32)
         for layer in self.decoder:
-            x = layer(x, cond, label_embed, causal_mask=mask, train=train)
+            x = layer(x, cond, label_embed, mask, train)
         h = nn.relu(self.out_hidden(x))
         return self.out_proj(h)                                  # (B, T*G, K)
 

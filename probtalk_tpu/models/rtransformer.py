@@ -29,6 +29,7 @@ class RTransformer(nn.Module):
     max_len: int = 1800
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None   # bf16 compute option
+    remat: bool = False  # per-layer activation checkpointing
 
     @nn.compact
     def __call__(self, x, audio, mask, label, train: bool = False):
@@ -49,11 +50,13 @@ class RTransformer(nn.Module):
             label_embed = nn.Embed(self.n_classes, self.dim, name="class_embed")(label)
         else:
             label_embed = jnp.zeros((x.shape[0], self.dim), x.dtype)
+        layer_cls = (StyledDecoderLayer if not self.remat else
+                     nn.remat(StyledDecoderLayer, static_argnums=(5,)))
         for i in range(self.layers):
-            h = StyledDecoderLayer(
+            h = layer_cls(
                 self.dim, self.heads, styled=self.use_label,
                 dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}",
-            )(h, cond, label_embed, train=train)
+            )(h, cond, label_embed, None, train)
 
         out = nn.Dense(1024, name="out_hidden")(h)
         out = nn.relu(out)

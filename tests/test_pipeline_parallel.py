@@ -99,3 +99,40 @@ class TestRTransformerPipeline:
         out = fn(h, cond, lab)
         np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestPipelineGradients:
+    def test_grad_matches_sequential(self, rng):
+        """GPipe is training-capable: gradients through the ppermute
+        schedule == gradients of the sequential stack."""
+        dim, batch, t = 8, 8, 4
+        layers = [{"w": jnp.asarray(rng.normal(size=(dim, dim)) * 0.4,
+                                    jnp.float32),
+                   "b": jnp.zeros((dim,), jnp.float32)} for _ in range(4)]
+        x = jnp.asarray(rng.normal(size=(batch, t, dim)), jnp.float32)
+        cond = jnp.zeros_like(x)
+        mesh = make_mesh(data=2, model=4)
+
+        def seq_loss(ls):
+            s = (x, cond)
+            for p in ls:
+                s = toy_layer(p, s)
+            return (s[0] ** 2).mean()
+
+        def pipe_loss(stacked):
+            out, _ = pipeline_apply(toy_layer, stacked, (x, cond), mesh,
+                                    axis="model", microbatches=4)
+            return (out ** 2).mean()
+
+        g_seq = jax.grad(seq_loss)(layers)
+        stacked = shard_stage_params(stack_stage_params(layers, 4),
+                                     mesh, "model")
+        g_pipe = jax.grad(pipe_loss)(stacked)
+        # unstack (4 stages x 1 layer each) back to the per-layer list
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(g_pipe["w"][i, 0]), np.asarray(g_seq[i]["w"]),
+                atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(g_pipe["b"][i, 0]), np.asarray(g_seq[i]["b"]),
+                atol=1e-5)

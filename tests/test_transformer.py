@@ -97,3 +97,50 @@ class TestRTransformer:
         out = model.apply(variables, x, aud, mask, label)
         assert out.shape == (2, 16, 40)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestRemat:
+    def test_remat_identical_outputs_and_grads(self, rng):
+        """remat=True is numerically identical (same params) — it only
+        changes what the backward pass stores vs recomputes."""
+        import jax
+        import jax.numpy as jnp
+        from probtalk_tpu.models.rtransformer import RTransformer
+
+        kw = dict(in_dim=20, condi_dim=16, dim=32, layers=2, heads=4,
+                  max_len=64, dropout=0.0)
+        plain = RTransformer(**kw)
+        ckpt = RTransformer(remat=True, **kw)
+        x = jnp.asarray(rng.normal(size=(2, 12, 20)), jnp.float32)
+        aud = jnp.asarray(rng.normal(size=(2, 12, 16)), jnp.float32)
+        m = jnp.zeros((2, 12, 1), jnp.float32)
+        lab = jnp.zeros((2,), jnp.int32)
+        v = plain.init(jax.random.key(0), x, aud, m, lab)
+
+        a = plain.apply(v, x, aud, m, lab)
+        b = ckpt.apply(v, x, aud, m, lab)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        ga = jax.grad(lambda p: (plain.apply({"params": p}, x, aud, m, lab) ** 2).mean())(v["params"])
+        gb = jax.grad(lambda p: (ckpt.apply({"params": p}, x, aud, m, lab) ** 2).mean())(v["params"])
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-5)
+
+    def test_ptransformer_remat_logits(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from probtalk_tpu.models.ptransformer import PTransformer
+
+        kw = dict(groups=2, condi_dim=16, dim=32, layers=2, num_code=8,
+                  heads=4, max_len=64, dropout=0.0)
+        plain = PTransformer(**kw)
+        ckpt = PTransformer(remat=True, **kw)
+        codes = jnp.asarray(rng.integers(0, 8, (2, 6, 2)), jnp.int32)
+        cond = jnp.asarray(rng.normal(size=(2, 6, 16)), jnp.float32)
+        lab = jnp.zeros((2,), jnp.int32)
+        v = plain.init(jax.random.key(0), codes, lab, cond,
+                       method=plain.logits)
+        a = plain.apply(v, codes, lab, cond, method=plain.logits)
+        b = ckpt.apply(v, codes, lab, cond, method=ckpt.logits)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
