@@ -154,6 +154,19 @@ def main(argv=None):
         from probtalk_tpu.viz import RenderTool
 
         model = load_smplx(smplx_npz)
+        # the reference renders with the SPEAKER's betas read from a
+        # sample clip (scripts/demo.py:46-66 get_betas); use the cached
+        # clip's betas when a preprocessed cache is available
+        betas = np.zeros(300, np.float32)
+        cache = os.environ.get("PROBTALK_CACHE", "data/cache")
+        if os.path.isdir(cache):
+            import glob as _glob
+
+            for npz_path in sorted(_glob.glob(os.path.join(cache, "*.npz"))):
+                z = np.load(npz_path)
+                if "betas" in z and int(z.get("speaker", -1)) == args.id:
+                    betas = z["betas"].astype(np.float32)
+                    break
         rt = RenderTool(out_dir)
         if args.whole_body:
             # mesh video (reference RenderTool pyrender path,
@@ -164,14 +177,14 @@ def main(argv=None):
             go, body = flat[:, 9:12], flat[:, 12:75]
             hands = flat[:, 75:165]
             pose = jnp.concatenate([go, body, jaw, eyes, hands], -1)
-            out = smplx_forward(model, jnp.zeros((300,)), flat[:, 165:265],
+            out = smplx_forward(model, jnp.asarray(betas), flat[:, 165:265],
                                 pose, return_verts=True)
             verts = np.asarray(out["vertices"])
             video = rt.render_mesh_sequences([verts], np.asarray(model.faces),
                                              base + "_mesh")
         else:
             joints = np.asarray(smplx_joints(
-                model, jnp.zeros((300,)), jnp.asarray(motion)))
+                model, jnp.asarray(betas), jnp.asarray(motion)))
             video = rt.render_sequences(
                 [joints[i] for i in range(len(joints))], base)
         print(f"rendered {video}")
