@@ -130,33 +130,56 @@ def main(argv=None):
         step = lambda s, b, k: emb_step(s, {"windows": b["poses_fbhe"]}, k)
         extra = None
     elif name == "s2g_body_vq":
+        # composition=True: SEPARATE body / hand VQs (reference
+        # smplx_body_vq.py:55-78) trained jointly as a composite state
         from probtalk_tpu.models.legacy import LegacyVQVAE
         from probtalk_tpu.train import stages_extra as se
         from probtalk_tpu.core import body_parts
 
-        jaw_d = body_parts.each_dim(True)[0]
-        bh0 = x0[..., jaw_d:-100]
-        stage = LegacyVQVAE(in_dim=int(bh0.shape[-1]),
-                            num_codes=m.get("code_num", 2048))
-        state = create_train_state(stage, (bh0,), jax.random.key(0), tx,
-                                   init_kwargs={"train": True})
-        vq_step = se.make_legacy_vq_train_step(stage)
-        step = lambda s, b, k: vq_step(
-            s, {"motion": b["poses_fbhe"][..., jaw_d:-100]}, k)
+        jaw_d, body_d = body_parts.each_dim(True)[:2]
+        b0 = x0[..., jaw_d: jaw_d + body_d]
+        h0 = x0[..., jaw_d + body_d: -100]
+        vq_b = LegacyVQVAE(in_dim=int(b0.shape[-1]),
+                           num_codes=m.get("code_num", 2048))
+        vq_h = LegacyVQVAE(in_dim=int(h0.shape[-1]),
+                           num_codes=m.get("code_num", 2048))
+        state = {
+            "body": create_train_state(vq_b, (b0,), jax.random.key(0), tx,
+                                       init_kwargs={"train": True}),
+            "hand": create_train_state(vq_h, (h0,), jax.random.key(1), tx,
+                                       init_kwargs={"train": True}),
+        }
+        step_b = se.make_legacy_vq_train_step(vq_b, donate=False)
+        step_h = se.make_legacy_vq_train_step(vq_h, donate=False)
+
+        def step(s, b, k, _j=jaw_d, _bd=body_d):
+            kb, kh = jax.random.split(k)
+            nb, mb = step_b(s["body"],
+                            {"motion": b["poses_fbhe"][..., _j:_j + _bd]}, kb)
+            nh, mh = step_h(s["hand"],
+                            {"motion": b["poses_fbhe"][..., _j + _bd:-100]},
+                            kh)
+            metrics = {"loss": mb["loss"] + mh["loss"],
+                       "body_loss": mb["loss"], "hand_loss": mh["loss"]}
+            return {"body": nb, "hand": nh}, metrics
+
         extra = None
     elif name == "s2g_body_pixel":
         from probtalk_tpu.models.legacy import LegacyVQVAE, GatedPixelCNN2D
         from probtalk_tpu.train import stages_extra as se
         from probtalk_tpu.core import body_parts
 
-        jaw_d = body_parts.each_dim(True)[0]
-        bh0 = x0[..., jaw_d:-100]
-        # body/hand part split (reference smplx_body_vq composition=True)
-        body_d = body_parts.each_dim(True)[1]
-        lvq = LegacyVQVAE(in_dim=int(bh0.shape[-1]) // 2,
-                          num_codes=m.get("code_num", 2048))
-        lvq_vars = _load_legacy_vq_vars(lvq, m.get("vq_path"),
-                                        bh0[..., : bh0.shape[-1] // 2])
+        # body/hand part split (reference smplx_body_pixel.py:55-57: the
+        # frozen stage-1 pair from s2g_body_vq composition training)
+        jaw_d, body_d = body_parts.each_dim(True)[:2]
+        b0 = x0[..., jaw_d: jaw_d + body_d]
+        h0 = x0[..., jaw_d + body_d: -100]
+        vq_b = LegacyVQVAE(in_dim=int(b0.shape[-1]),
+                           num_codes=m.get("code_num", 2048))
+        vq_h = LegacyVQVAE(in_dim=int(h0.shape[-1]),
+                           num_codes=m.get("code_num", 2048))
+        bvars, hvars = _load_legacy_vq_pair(vq_b, vq_h, m.get("vq_path"),
+                                            b0, h0)
         stage = GatedPixelCNN2D(num_codes=m.get("code_num", 2048))
         spk0 = jnp.asarray(sample["speaker"])
         aud0 = jnp.asarray(sample["aud_feat"])
@@ -164,15 +187,49 @@ def main(argv=None):
         codes0 = jnp.zeros((x0.shape[0], x0.shape[1] // 4, 2), jnp.int32)
         state = create_train_state(stage, (codes0, spk0, aud_cr0),
                                    jax.random.key(0), tx)
-        px_step = se.make_pixelcnn_train_step(stage, lvq, lvq_vars)
-        half = int(bh0.shape[-1]) // 2
+        px_step = se.make_pixelcnn_train_step(stage, (vq_b, vq_h),
+                                              (bvars, hvars))
 
-        def step(s, b, k, _half=half, _jaw=jaw_d):
-            bh = b["poses_fbhe"][..., _jaw:-100]
-            return px_step(s, {"body": bh[..., :_half],
-                               "hand": bh[..., _half:],
+        def step(s, b, k, _j=jaw_d, _bd=body_d):
+            x = b["poses_fbhe"]
+            return px_step(s, {"body": x[..., _j:_j + _bd],
+                               "hand": x[..., _j + _bd:-100],
                                "aud_code_rate": b["aud_feat"][:, ::4],
                                "speaker": b["speaker"]}, k)
+
+        extra = None
+    elif name in ("Audio2Gestures", "s2g_body"):
+        from probtalk_tpu.models.legacy import A2GGenerator, a2g_losses
+        from probtalk_tpu.train.state import TrainState
+        import functools
+
+        a2g = A2GGenerator(
+            out_dim=x0.shape[-1],
+            audio_hidden=m.get("audio_hidden_size", 32),
+            pose_hidden=m.get("pose_hidden_size", 32),
+            dropout=m.get("dropout", 0.2),
+            with_mapping_net=m.get("with_mapping_net", True),
+        )
+        aud0 = jnp.asarray(sample["aud_feat"])
+        state = create_train_state(a2g, (aud0, x0, jax.random.key(5)),
+                                   jax.random.key(0), tx,
+                                   init_kwargs={"train": True})
+
+        def a2g_loss_fn(params, mutables, batch, rng):
+            variables = {"params": params, **mutables}
+            out, new_mut = a2g.apply(
+                variables, batch["aud_feat"], batch["poses_fbhe"], rng,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)})
+            total, ld = a2g_losses(out, batch["poses_fbhe"])
+            ld["loss"] = total
+            return total, (new_mut, ld)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(s: TrainState, batch, rng):
+            (_, (new_mut, ld)), grads = jax.value_and_grad(
+                a2g_loss_fn, has_aux=True)(s.params, s.mutables, batch, rng)
+            return s.apply_gradients(grads, new_mutables=new_mut), ld
 
         extra = None
     elif name in ("speech2gesture", "s2g_LS3DCG"):
@@ -243,20 +300,27 @@ def _with_face_gt(face_step, jaw_d):
     return step
 
 
-def _load_legacy_vq_vars(lvq, vq_path, x0):
-    """Frozen legacy-VQ variables for the pixel prior (reference
-    smplx_body_pixel.py: loads the stage-1 VQ from Model.vq_path)."""
+def _load_legacy_vq_pair(vq_b, vq_h, vq_path, b0, h0):
+    """Frozen stage-1 body/hand VQ pair for the pixel prior (reference
+    smplx_body_pixel.py:55-57 loads both from Model.vq_path) — the
+    composite {'body','hand'} checkpoint the s2g_body_vq branch writes.
+    Fresh-init fallback keeps shape-complete dry runs working."""
     import jax
     from probtalk_tpu.train.state import adamw, create_train_state
     from probtalk_tpu.train.trainer import Checkpointer
 
-    tmpl = create_train_state(lvq, (x0[:1],), jax.random.key(8), adamw(1e-4),
-                              init_kwargs={"train": True})
+    tmpl = {
+        "body": create_train_state(vq_b, (b0[:1],), jax.random.key(8),
+                                   adamw(1e-4), init_kwargs={"train": True}),
+        "hand": create_train_state(vq_h, (h0[:1],), jax.random.key(9),
+                                   adamw(1e-4), init_kwargs={"train": True}),
+    }
     if vq_path and os.path.exists(vq_path):
         restored, _ = Checkpointer(vq_path).restore(tmpl)
         if restored is not None:
             tmpl = restored
-    return {"params": tmpl.params, **tmpl.mutables}
+    return ({"params": tmpl["body"].params, **tmpl["body"].mutables},
+            {"params": tmpl["hand"].params, **tmpl["hand"].mutables})
 
 
 def _gan_composite(g_state, d_state, g_step, d_step, gan: bool):

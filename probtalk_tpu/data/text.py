@@ -131,7 +131,8 @@ def text_features_tokens(sentences, n_frames: int, fps: float = 30.0,
     encoded WHOLE (tokens see full sentence context), each word's frame
     interval is split into one sub-interval per token, each sub-interval
     carries that token's hidden state scaled by the word's confidence;
-    silence after the last word gets ``pad_vector``.
+    every frame not covered by a word gets ``pad_vector`` (zeros when
+    None).
 
     sentences: from ``parse_sentences``. encode_fn(list_of_token_ids) ->
     (n_tokens, dim) hidden states (e.g. the flax GPT-2 last hidden
@@ -145,7 +146,6 @@ def text_features_tokens(sentences, n_frames: int, fps: float = 30.0,
             return np.stack([hash_embed(str(i), dim) for i in ids])
     feat = np.zeros((n_frames, dim), np.float32)
     covered = np.zeros(n_frames, bool)
-    last_end = 0
     for sentence, words in sentences:
         if not sentence or not words:
             continue
@@ -157,7 +157,6 @@ def text_features_tokens(sentences, n_frames: int, fps: float = 30.0,
             n = len(toks)
             fs = max(int(np.floor(s * fps)), 0)
             fe = min(max(int(np.ceil(e * fps)), fs + 1), n_frames)
-            last_end = max(last_end, fe)
             if fs >= n_frames:
                 k += n
                 continue

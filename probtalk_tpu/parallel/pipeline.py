@@ -71,9 +71,8 @@ def pipeline_apply(layer_fn: Callable, stage_params, stream, mesh: Mesh,
     xs = jax.tree.map(
         lambda a: a.reshape((m_count, mb) + a.shape[1:]), stream)
 
-    # stage params enter sharded over `axis`; stream replicated
-    other = [n for n in mesh.axis_names if n != axis]
-
+    # stage params enter sharded over `axis`; the stream is replicated
+    # (including over any data axis — every replica runs the same pipe)
     def shard_fn(p, xs):
         p = jax.tree.map(lambda a: a[0], p)       # (1, L/S, ...) -> (L/S, ...)
         idx = jax.lax.axis_index(axis)

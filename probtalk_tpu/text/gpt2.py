@@ -134,8 +134,10 @@ def make_gpt2_encode_fn(variables=None, seed: int = 0, pad_to: int = 64,
     """-> fn(list[int]) -> (n_tokens, dim) per-token last hidden states —
     the sentence-level encoder of the reference's ``get_textfeat_bin``
     (foundation_models.py:277-280: whole-sentence GPT-2 forward, one state
-    per token). Static ``pad_to`` bucketing keeps it one XLA program;
-    causality makes trailing-pad truncation exact."""
+    per token). The sentence is always encoded WHOLE: the pad bucket
+    doubles from ``pad_to`` until the sentence fits (one compiled program
+    per bucket size, capped at the model's max_pos); causality makes
+    trailing-pad truncation exact."""
     import numpy as _np
 
     model = GPT2Encoder(**model_kw)
@@ -147,15 +149,19 @@ def make_gpt2_encode_fn(variables=None, seed: int = 0, pad_to: int = 64,
     apply = jax.jit(lambda v, ids: model.apply(v, ids))
 
     def encode(ids):
-        chunks = []
-        for i in range(0, max(len(ids), 1), pad_to):
-            c = list(ids[i:i + pad_to]) or [0]
-            arr = _np.zeros((1, pad_to), _np.int32)
-            arr[0, : len(c)] = c
-            h = _np.asarray(apply(variables, jnp.asarray(arr))[0][: len(c)],
-                            _np.float32)
-            chunks.append(h)
-        return _np.concatenate(chunks, 0)
+        ids = list(ids) or [0]
+        if len(ids) > model.max_pos:
+            raise ValueError(
+                f"sentence of {len(ids)} tokens exceeds the model's "
+                f"max_pos {model.max_pos}")
+        bucket = pad_to
+        while bucket < len(ids):
+            bucket *= 2
+        bucket = min(bucket, model.max_pos)
+        arr = _np.zeros((1, bucket), _np.int32)
+        arr[0, : len(ids)] = ids
+        return _np.asarray(apply(variables, jnp.asarray(arr))[0][: len(ids)],
+                           _np.float32)
 
     return encode
 

@@ -112,15 +112,14 @@ def make_pixelcnn_train_step(prior, vq_model, vq_variables, donate: bool = True)
     (reference smplx_body_pixel.py:28-279). The (body, hand) code pair forms
     the W=2 grid axis. batch: {'body' (B,T,C_b), 'hand' (B,T,C_h),
     'aud_code_rate' (B,T/4,Ca), 'speaker' (B,)}."""
-    vq_variables = jax.tree_util.tree_map(jax.lax.stop_gradient, vq_variables)
     body_vq, hand_vq = vq_model if isinstance(vq_model, tuple) else (vq_model, vq_model)
     body_vars, hand_vars = (vq_variables if isinstance(vq_variables, tuple)
                             else (vq_variables, vq_variables))
 
-    def loss_fn(params, mutables, batch, rng):
-        _, body_codes = body_vq.apply(body_vars, batch["body"], train=False,
+    def loss_fn(params, mutables, bvars, hvars, batch, rng):
+        _, body_codes = body_vq.apply(bvars, batch["body"], train=False,
                                       method=body_vq.encode)
-        _, hand_codes = hand_vq.apply(hand_vars, batch["hand"], train=False,
+        _, hand_codes = hand_vq.apply(hvars, batch["hand"], train=False,
                                       method=hand_vq.encode)
         codes = jnp.stack([body_codes, hand_codes], axis=-1)  # (B, T/4, 2)
         codes = jax.lax.stop_gradient(codes)
@@ -132,13 +131,19 @@ def make_pixelcnn_train_step(prior, vq_model, vq_variables, donate: bool = True)
         acc = jnp.mean(jnp.argmax(logits, -1) == codes)
         return ce, (mutables, {"loss": ce, "code_acc": acc})
 
+    # frozen VQ pair enters the jit as ARGUMENTS, not closure constants
+    # (closure captures serialize into the HLO as literals — CLAUDE.md)
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, batch, rng):
-        (_, (new_mut, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.mutables, batch, rng)
+    def _step(state: TrainState, bvars, hvars, batch, rng):
+        (_, (new_mut, ld)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.mutables,
+                                   bvars, hvars, batch, rng)
         new_state = state.apply_gradients(grads, new_mutables=new_mut)
         ld["grad_norm"] = optax_global_norm(grads)
         return new_state, ld
+
+    def step(state: TrainState, batch, rng):
+        return _step(state, body_vars, hand_vars, batch, rng)
 
     return step
 
@@ -181,13 +186,17 @@ def make_gan_train_steps(gen, disc, recon_weight: float = 1.0,
         fake, new_gmut = gen.apply(gv, batch["aud_feat"], train=True,
                                    mutable=["batch_stats"],
                                    rngs={"dropout": rng})
-        dv = {"params": d_params, **d_mut}
-        score = disc.apply(dv, fake, train=False)
-        adv = jnp.mean((score - 1.0) ** 2)
         rec = jnp.mean(jnp.abs(fake - batch["motion"]))
-        total = recon_weight * rec + gan_weight * adv
-        return total, (new_gmut, {"g_loss": total, "rec_loss": rec,
-                                  "adv_loss": adv})
+        total = recon_weight * rec
+        ld = {"rec_loss": rec}
+        if gan_weight:      # skip the D forward entirely for pure-recon
+            dv = {"params": d_params, **d_mut}
+            score = disc.apply(dv, fake, train=False)
+            adv = jnp.mean((score - 1.0) ** 2)
+            total = total + gan_weight * adv
+            ld["adv_loss"] = adv
+        ld["g_loss"] = total
+        return total, (new_gmut, ld)
 
     def d_loss_fn(d_params, d_mut, g_params, g_mut, batch, rng):
         gv = {"params": g_params, **g_mut}

@@ -293,11 +293,14 @@ def train_and_gen_jax():
     pstate = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
                                 jax.random.key(2), optax.adam(1e-4),
                                 init_kwargs={"train": True})
+    # completion markers disambiguate finished runs from step-0 saves
+    # (earlier script versions checkpointed completed stages with id 0)
+    pdone = os.path.join(DIR, "jax_pred.done")
     pck = Checkpointer(os.path.join(DIR, "jax_pred"))
     restored, pstart = pck.restore(pstate)
     if restored is not None:
         pstate = restored
-        pstart += 1
+        pstart = STEPS if os.path.exists(pdone) else pstart + 1
         log(f"jax pred restored at step {pstart}")
     else:
         pstart = 0
@@ -317,16 +320,18 @@ def train_and_gen_jax():
             if i % 100 == 0 or i == STEPS - 1:
                 log(f"jax pred step {i}: ce {float(m['loss']):.4f}")
                 pck.save(i, pstate, wait=True)
+        open(pdone, "w").write(str(STEPS))
 
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
     rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
                                 jax.random.key(4), optax.adam(1e-4),
                                 init_kwargs={"train": True})
+    rdone = os.path.join(DIR, "jax_ref.done")
     rck = Checkpointer(os.path.join(DIR, "jax_ref"))
     restored, rstart = rck.restore(rstate)
     if restored is not None:
         rstate = restored
-        rstart += 1
+        rstart = STEPS if os.path.exists(rdone) else rstart + 1
         log(f"jax ref restored at step {rstart}")
     else:
         rstart = 0
@@ -345,6 +350,7 @@ def train_and_gen_jax():
             if i % 100 == 0 or i == STEPS - 1:
                 log(f"jax ref step {i}: loss {float(m['loss']):.4f}")
                 rck.save(i, rstate, wait=True)
+        open(rdone, "w").write(str(STEPS))
 
     # generation through the compiled streaming path
     from probtalk_tpu.streaming import make_streaming_generate

@@ -63,6 +63,8 @@ def _run(tmp_path, tiny_cache, model_block, gen_len=32, data_over=None):
     {"model_name": "s2g_body_pixel", "code_num": 64},
     {"model_name": "s2g_body_ae"},
     {"model_name": "speech2gesture", "gan": True},
+    {"model_name": "Audio2Gestures", "audio_hidden_size": 16,
+     "pose_hidden_size": 16, "dropout": 0.0},
     {"model_name": "s2g_LS3DCG", "gan": False},
 ], ids=lambda m: m["model_name"])
 def test_family_trains_one_epoch(tmp_path, tiny_cache, model_block):
