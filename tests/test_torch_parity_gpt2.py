@@ -136,3 +136,22 @@ class TestTextFeatBin:
                                    atol=1e-4, rtol=1e-4)
         # trailing silence is zeros (no pad vector given)
         assert np.abs(feat[-1]).sum() == 0
+
+    def test_long_sentence_whole_context(self, hf_small):
+        """Sentences longer than the pad bucket keep whole-sentence
+        attention (bucket doubles instead of chunking) and match torch."""
+        import numpy as np
+        from probtalk_tpu.text.gpt2 import make_gpt2_encode_fn
+
+        variables = convert_hf_gpt2(hf_small.state_dict())
+        encode = make_gpt2_encode_fn(variables, pad_to=16, vocab=1000,
+                                     layers=4, max_pos=128)
+        ids = list(range(2, 47))          # 45 tokens > pad_to=16
+        states = encode(ids)
+        assert states.shape == (45, 768)
+        with torch.no_grad():
+            golden = hf_small(torch.tensor([ids])).last_hidden_state[0].numpy()
+        np.testing.assert_allclose(states, golden, atol=1e-4, rtol=1e-4)
+
+        with pytest.raises(ValueError):
+            encode(list(range(300)))      # > max_pos
