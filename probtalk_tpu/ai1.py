@@ -40,10 +40,12 @@ class AllInOneModel:
     def _face(self, aud_feat, speaker):
         if self.face_model is None:
             return None
+        from probtalk_tpu.utils.profiling import device_sync
+
         t0 = time.perf_counter()
         out = self.face_model.apply(self.face_variables, aud_feat, speaker,
                                     train=False)
-        jax.block_until_ready(out)
+        device_sync(out)
         self.timers.face += time.perf_counter() - t0
         return out
 

@@ -31,18 +31,28 @@ _FE_DOWNSAMPLE = 320  # total stride: 16kHz -> 50 fps
 
 
 class FeatureExtractor(nn.Module):
-    """Raw waveform (B, S) -> (B, S/320, 512). Group-norm on the first layer
-    (wav2vec2-base 'group' norm mode)."""
+    """Raw waveform (B, S) -> (B, S/320, 512).
+
+    norm_mode 'group': group-norm on the first conv only (wav2vec2-base);
+    'layer': layer-norm after EVERY conv (HuBERT / *-large models, HF
+    feat_extract_norm='layer'), usually with conv biases."""
 
     dtype: Optional[jnp.dtype] = None   # bf16 compute option (norms stay f32)
+    norm_mode: str = "group"
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = x[..., None]
         for i, (dim, k, s) in enumerate(_CONV_LAYERS):
-            h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
+            h = nn.Conv(dim, (k,), strides=(s,), padding="VALID",
+                        use_bias=self.conv_bias,
                         dtype=self.dtype, name=f"conv_{i}")(h)
-            if i == 0:
+            if self.norm_mode == "layer":
+                h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                 name=f"conv_ln_{i}")(h)
+                h = h.astype(self.dtype or h.dtype)
+            elif i == 0:
                 h = nn.GroupNorm(num_groups=dim, epsilon=1e-5,
                                  dtype=jnp.float32, name="gn_0")(h)
                 h = h.astype(self.dtype or h.dtype)
@@ -51,28 +61,47 @@ class FeatureExtractor(nn.Module):
 
 
 class TransformerLayer(nn.Module):
+    """post-LN (wav2vec2-base) or pre-LN (``pre_ln=True``: HuBERT-large /
+    HF do_stable_layer_norm) encoder layer."""
+
     dim: int = 768
     heads: int = 12
     ffn: int = 3072
     dropout: float = 0.1
+    pre_ln: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         det = not train
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.dim, dropout_rate=self.dropout,
-            deterministic=det, force_fp32_for_softmax=True, dtype=self.dtype,
-            name="attn")(x, x)
+
+        def attn(y):
+            return nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, qkv_features=self.dim,
+                dropout_rate=self.dropout, deterministic=det,
+                force_fp32_for_softmax=True, dtype=self.dtype,
+                name="attn")(y, y)
+
+        def ffwd(y):
+            h = nn.Dense(self.ffn, dtype=self.dtype, name="fc1")(y)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+            return nn.Dropout(self.dropout, deterministic=det)(h)
+
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=jnp.float32)
+        ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=jnp.float32)
+        cast = lambda y: y.astype(self.dtype or y.dtype)
+
+        if self.pre_ln:
+            h = attn(cast(ln1(x)))
+            x = x + nn.Dropout(self.dropout, deterministic=det)(h)
+            x = x + ffwd(cast(ln2(x)))
+            return cast(x)
+        h = attn(x)
         h = nn.Dropout(self.dropout, deterministic=det)(h)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=jnp.float32)(x + h)
-        x = x.astype(self.dtype or x.dtype)
-        h = nn.Dense(self.ffn, dtype=self.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
-        h = nn.Dropout(self.dropout, deterministic=det)(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=jnp.float32)(x + h)
-        return h.astype(self.dtype or h.dtype)
+        x = cast(ln1(x + h))
+        h = ffwd(x)
+        return cast(ln2(x + h))
 
 
 class Wav2Vec2Encoder(nn.Module):
@@ -81,9 +110,13 @@ class Wav2Vec2Encoder(nn.Module):
     dim: int = 768
     layers: int = 12
     heads: int = 12
+    ffn: int = 3072
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     dropout: float = 0.1
+    norm_mode: str = "group"        # feature-extractor norm mode
+    conv_bias: bool = False
+    stable_layer_norm: bool = False  # pre-LN encoder + final LN (HuBERT-large)
     dtype: Optional[jnp.dtype] = None   # bf16 compute (f32 params/norms)
 
     @nn.compact
@@ -91,7 +124,8 @@ class Wav2Vec2Encoder(nn.Module):
                  train: bool = False):
         """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
         S/16000*30). None keeps the native 50 fps."""
-        feat = FeatureExtractor(dtype=self.dtype,
+        feat = FeatureExtractor(dtype=self.dtype, norm_mode=self.norm_mode,
+                                conv_bias=self.conv_bias,
                                 name="feature_extractor")(waveform)
 
         # 50 fps -> motion fps alignment (the reference's core patch,
@@ -118,12 +152,21 @@ class Wav2Vec2Encoder(nn.Module):
         if self.conv_pos_kernel % 2 == 0:
             pos = pos[:, :-1]
         h = feat + nn.gelu(pos, approximate=False)
-        h = nn.LayerNorm(epsilon=1e-5, name="enc_norm", dtype=jnp.float32)(h)
-        h = h.astype(self.dtype or h.dtype)
+        enc_norm = nn.LayerNorm(epsilon=1e-5, name="enc_norm",
+                                dtype=jnp.float32)
+        if not self.stable_layer_norm:
+            # post-LN stack: LN after the pos-conv add (wav2vec2-base)
+            h = enc_norm(h)
+            h = h.astype(self.dtype or h.dtype)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         for i in range(self.layers):
-            h = TransformerLayer(self.dim, self.heads, dtype=self.dtype,
-                                 name=f"layer_{i}")(h, train)
+            h = TransformerLayer(self.dim, self.heads, self.ffn,
+                                 pre_ln=self.stable_layer_norm,
+                                 dtype=self.dtype, name=f"layer_{i}")(h, train)
+        if self.stable_layer_norm:
+            # pre-LN stack: the same LN applies AFTER the layers
+            # (HF Wav2Vec2/HubertEncoderStableLayerNorm)
+            h = enc_norm(h)
         return h.astype(jnp.float32)
 
 
@@ -131,8 +174,10 @@ class Wav2Vec2Encoder(nn.Module):
 # HF weight conversion
 # ---------------------------------------------------------------------------
 
-def convert_hf_wav2vec2(hf_state_dict: dict) -> dict:
-    """Map a torch ``Wav2Vec2Model`` state dict onto Wav2Vec2Encoder params.
+def convert_hf_wav2vec2(hf_state_dict: dict, heads: int = 12) -> dict:
+    """Map a torch ``Wav2Vec2Model`` OR ``HubertModel`` state dict onto
+    Wav2Vec2Encoder params (the two share key layout; HuBERT adds conv
+    biases and per-conv layer norms, auto-detected).
 
     Accepts tensors or numpy arrays keyed by HF names
     (feature_extractor.conv_layers.*, encoder.layers.*, ...).
@@ -151,13 +196,23 @@ def convert_hf_wav2vec2(hf_state_dict: dict) -> dict:
         node[parts[-1]] = jnp.asarray(arr)
 
     sd = {k: np_(v) for k, v in hf_state_dict.items()}
+    layer_norm_convs = "feature_extractor.conv_layers.1.layer_norm.weight" in sd
     for i in range(len(_CONV_LAYERS)):
         w = sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
         put(f"feature_extractor/conv_{i}/kernel", w.transpose(2, 1, 0))
-    put("feature_extractor/gn_0/scale",
-        sd["feature_extractor.conv_layers.0.layer_norm.weight"])
-    put("feature_extractor/gn_0/bias",
-        sd["feature_extractor.conv_layers.0.layer_norm.bias"])
+        if f"feature_extractor.conv_layers.{i}.conv.bias" in sd:
+            put(f"feature_extractor/conv_{i}/bias",
+                sd[f"feature_extractor.conv_layers.{i}.conv.bias"])
+        if layer_norm_convs:
+            put(f"feature_extractor/conv_ln_{i}/scale",
+                sd[f"feature_extractor.conv_layers.{i}.layer_norm.weight"])
+            put(f"feature_extractor/conv_ln_{i}/bias",
+                sd[f"feature_extractor.conv_layers.{i}.layer_norm.bias"])
+    if not layer_norm_convs:
+        put("feature_extractor/gn_0/scale",
+            sd["feature_extractor.conv_layers.0.layer_norm.weight"])
+        put("feature_extractor/gn_0/bias",
+            sd["feature_extractor.conv_layers.0.layer_norm.bias"])
     put("feat_norm/scale", sd["feature_projection.layer_norm.weight"])
     put("feat_norm/bias", sd["feature_projection.layer_norm.bias"])
     put("feat_proj/kernel", sd["feature_projection.projection.weight"].T)
@@ -184,7 +239,6 @@ def convert_hf_wav2vec2(hf_state_dict: dict) -> dict:
     while f"encoder.layers.{n_layers}.final_layer_norm.weight" in sd:
         n_layers += 1
     dim = sd["feature_projection.projection.bias"].shape[0]
-    heads = 12
     head_dim = dim // heads
     for i in range(n_layers):
         base = f"encoder.layers.{i}"

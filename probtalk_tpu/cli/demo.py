@@ -167,6 +167,11 @@ def main(argv=None):
                 if "betas" in z and int(z.get("speaker", -1)) == args.id:
                     betas = z["betas"].astype(np.float32)
                     break
+        # mux the speech into the video (the reference's ffmpeg step,
+        # visualise/rendering.py:213-238 — here a PCM 'auds' AVI stream)
+        from probtalk_tpu.data import audio as audio_lib
+
+        wav = audio_lib.load_wav(args.audio_file, target_sr=16000)
         rt = RenderTool(out_dir)
         if args.whole_body:
             # mesh video (reference RenderTool pyrender path,
@@ -180,13 +185,19 @@ def main(argv=None):
             out = smplx_forward(model, jnp.asarray(betas), flat[:, 165:265],
                                 pose, return_verts=True)
             verts = np.asarray(out["vertices"])
+            camera_path = None
+            if getattr(args, "rotation_times", 0):
+                from probtalk_tpu.viz.rasterize import view_rotation
+
+                camera_path = view_rotation(args.rotation_times)
             video = rt.render_mesh_sequences([verts], np.asarray(model.faces),
-                                             base + "_mesh")
+                                             base + "_mesh", audio=wav,
+                                             camera_path=camera_path)
         else:
             joints = np.asarray(smplx_joints(
                 model, jnp.asarray(betas), jnp.asarray(motion)))
             video = rt.render_sequences(
-                [joints[i] for i in range(len(joints))], base)
+                [joints[i] for i in range(len(joints))], base, audio=wav)
         print(f"rendered {video}")
 
 

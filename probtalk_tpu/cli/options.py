@@ -31,10 +31,18 @@ def parse_args(argv=None):
     p.add_argument("--only_face", action="store_true")
     p.add_argument("--stand", action="store_true")
     p.add_argument("--whole_body", action="store_true")
+    p.add_argument("--rotation_times", type=int, default=0,
+                   help="demo mesh video view rotation in 45-degree steps "
+                        "(the reference's _render_change_view)")
     p.add_argument("--epochs", type=int, default=None,
                    help="overrides config Train.epochs")
     p.add_argument("--batch_size", type=int, default=None,
                    help="overrides config DataLoader.batch_size")
     p.add_argument("--num_devices", type=int, default=None,
                    help="mesh size; default all visible devices")
+    p.add_argument("--loader", type=str, default="native",
+                   choices=["native", "python"],
+                   help="batch producer: the C++ double-buffered native "
+                        "loader (the reference DataLoader(workers=8) role) "
+                        "or the python WindowedDataset")
     return p.parse_args(argv)

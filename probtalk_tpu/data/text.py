@@ -12,8 +12,10 @@ Word embeddings are pluggable (``embed_fn``): the flax GPT-2 encoder
 (``probtalk_tpu.text.make_gpt2_embed_fn`` — the reference's default text
 model, golden-parity'd vs HF torch), any HF text model (gpt2 / bert /
 clip / t5 — dims per ``nets/base.py:114-129``) when its weights are
-available, otherwise a deterministic hash-based fallback so the text
-conditioning path stays shape-complete without downloads.
+available. When no weights exist, ``make_text_embed_fn`` FAILS LOUDLY
+(MissingTextWeightsError) unless the hash fallback is explicitly opted
+into — hash embeddings keep shapes production-true but carry no
+semantics, and silently training on them is a quality cliff.
 """
 
 from __future__ import annotations
@@ -102,6 +104,69 @@ def hash_embed(word: str, dim: int = 768) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+class MissingTextWeightsError(RuntimeError):
+    """A config selected a pretrained text encoder but no weights exist.
+
+    The reference downloads gpt2/bert/clip/t5 from the HF hub
+    (foundation_models.py:46-110); this environment has no egress, so
+    silently degrading to hash noise would train a quality cliff without
+    failing. Opt in explicitly with allow_hash=True (or choice='hash')."""
+
+
+def _warn_hash(choice: str):
+    import warnings
+
+    warnings.warn(
+        f"text encoder '{choice}' has no pretrained weights here; using the "
+        "deterministic HASH fallback — text conditioning carries no "
+        "semantics (opt-in via allow_hash/text_fallback='hash')",
+        stacklevel=3)
+
+
+def make_text_embed_fn(choice: str, variables=None, allow_hash: bool = False,
+                       dim: Optional[int] = None, **model_kw):
+    """-> (embed_fn(word)->(dim,), dim) for a config's text-model choice
+    (the reference's text branch of getFM, foundation_models.py:46-110).
+
+    choice: 'gpt2' | 'bert' | 'clip' | 't5' | 'hash'. Pretrained choices
+    REQUIRE weights: pass ``variables`` (flax, from the matching
+    ``probtalk_tpu.text`` converter) or have the HF torch weights cached
+    locally; otherwise raises MissingTextWeightsError unless
+    ``allow_hash=True``, which degrades loudly (a warning per call site
+    use) to ``hash_embed``.
+    """
+    dim = dim or TEXT_DIMS.get(choice, 768)
+    if choice == "hash":
+        return (lambda w: hash_embed(w, dim)), dim
+    if choice == "gpt2" and variables is not None:
+        from probtalk_tpu.text.gpt2 import make_gpt2_embed_fn
+
+        return make_gpt2_embed_fn(variables, dim=dim, **model_kw), dim
+    if choice in ("bert", "clip", "t5") and variables is not None:
+        from probtalk_tpu.text.encoders import make_text_encoder_embed_fn
+
+        return make_text_encoder_embed_fn(choice, variables, dim=dim,
+                                          **model_kw), dim
+    # no flax variables: try locally cached HF torch weights
+    try:
+        hf_name = {"gpt2": "gpt2", "bert": "bert-base-uncased",
+                   "clip": "openai/clip-vit-base-patch32",
+                   "t5": "t5-base"}[choice]
+    except KeyError:
+        raise ValueError(f"unknown text encoder choice {choice!r}")
+    try:
+        return make_hf_embed_fn(hf_name), dim
+    except Exception:
+        if not allow_hash:
+            raise MissingTextWeightsError(
+                f"text encoder {choice!r} selected but neither flax "
+                "variables nor local HF weights are available; pass "
+                "allow_hash=True (config text_fallback='hash') to "
+                "explicitly accept hash embeddings") from None
+        _warn_hash(choice)
+        return (lambda w: hash_embed(w, dim)), dim
+
+
 def make_hf_embed_fn(model_name: str = "gpt2"):
     """Word-embedding fn backed by a HF torch model (used when weights are
     locally available; the reference loads gpt2/bert/clip/t5 the same way)."""
@@ -142,6 +207,8 @@ def text_features_tokens(sentences, n_frames: int, fps: float = 30.0,
         tokenize_fn = lambda w: ([b % 50257 for b in w.lower().encode()]
                                  or [0])
     if encode_fn is None:
+        _warn_hash("(default token encode_fn)")
+
         def encode_fn(ids):
             return np.stack([hash_embed(str(i), dim) for i in ids])
     feat = np.zeros((n_frames, dim), np.float32)
@@ -192,6 +259,7 @@ def text_features(words, n_frames: int, fps: float = 30.0,
     zeros during silence (the reference's interval-splat alignment in
     get_textfeat, foundation_models.py:*)."""
     if embed_fn is None:
+        _warn_hash("(default word embed_fn)")
         embed_fn = lambda w: hash_embed(w, dim)
     feat = np.zeros((n_frames, dim), np.float32)
     cache: dict = {}

@@ -62,40 +62,39 @@ def _pad_bucket(t: int, bucket: int = 64) -> int:
     return -(-t // bucket) * bucket
 
 
-def device_sync(x) -> None:
-    """Reliable completion barrier: on the axon (tunneled-TPU) backend,
-    ``jax.block_until_ready`` returns at enqueue time — only a value fetch
-    guarantees execution finished. A scalar reduction keeps the fetched
-    payload at 4 bytes."""
-    import jax.numpy as jnp
-
-    float(jnp.sum(x))
+# canonical barrier lives in utils.profiling; re-exported here for the
+# many round-1/2 call sites that import it from the harness
+from probtalk_tpu.utils.profiling import device_sync  # noqa: F401,E402
 
 
 def make_joints_fn(smplx_model, bucket: int = 64):
-    """-> joints(full_motion (B, T, 165+100)) -> (B, T, J, 3) numpy.
+    """-> joints(full_motion (B, T, 165+100), betas=None) -> (B, T, J, 3).
 
-    Jitted per padded length; SMPL-X is per-frame so edge-padding then
-    cropping is exact.
+    ``betas``: the clip's SMPL-X shape coefficients (the reference
+    evaluates with each clip's own betas, test_holisticbody.py:292-299);
+    None means the neutral shape. Jitted per padded length; SMPL-X is
+    per-frame so edge-padding then cropping is exact.
     """
     import jax
     import jax.numpy as jnp
     from probtalk_tpu.smplx.lbs import smplx_joints
 
-    betas = jnp.zeros((300,), jnp.float32)
-
     # model passed as argument (closure constants serialize into the HLO)
     @jax.jit
-    def _joints(model, pred):
+    def _joints(model, betas, pred):
         return smplx_joints(model, betas, pred)
 
-    def joints(full_motion: np.ndarray) -> np.ndarray:
+    def joints(full_motion: np.ndarray, betas=None) -> np.ndarray:
         b, t, c = full_motion.shape
+        if betas is None:
+            bet = jnp.zeros((300,), jnp.float32)
+        else:
+            bet = jnp.asarray(np.asarray(betas, np.float32).reshape(-1))
         tp = _pad_bucket(t, bucket)
         if tp != t:
             pad = np.repeat(full_motion[:, -1:], tp - t, axis=1)
             full_motion = np.concatenate([full_motion, pad], axis=1)
-        out = np.asarray(_joints(smplx_model, jnp.asarray(full_motion)))
+        out = np.asarray(_joints(smplx_model, bet, jnp.asarray(full_motion)))
         return out[:, :t]
 
     return joints
@@ -247,9 +246,12 @@ def run_harness(generate_fn, clips, mean, std, evaluator=None,
 
         bat = {}
         if joints_fn is not None:
+            # the clip's own betas shape the joints (reference harness,
+            # test_holisticbody.py:292-299); neutral when absent
+            clip_betas = _cget(clip, "betas")
             pred_full = fbhe_to_full_motion(out, mean, std, stand=stand)
-            pred_joints = joints_fn(pred_full)
-            gt_joints = joints_fn(gt_full[None])[0]
+            pred_joints = joints_fn(pred_full, clip_betas)
+            gt_joints = joints_fn(gt_full[None], clip_betas)[0]
             bat.update(body_metrics(gt_joints, pred_joints))
 
             # face pass: zero everything but jaw + expression
@@ -258,8 +260,8 @@ def run_harness(generate_fn, clips, mean, std, evaluator=None,
                 z = np.zeros_like(x[..., 3:165])
                 return np.concatenate([x[..., :3], z, x[..., 165:]], -1)
 
-            pf_joints = joints_fn(face_param(pred_full))
-            gf_joints = joints_fn(face_param(gt_full)[None])[0]
+            pf_joints = joints_fn(face_param(pred_full), clip_betas)
+            gf_joints = joints_fn(face_param(gt_full)[None], clip_betas)[0]
             bat.update(face_metrics(gf_joints, pf_joints))
 
             if evaluator is not None:

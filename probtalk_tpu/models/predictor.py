@@ -98,6 +98,7 @@ class PredictorNet(nn.Module):
     use_text: bool = False
     decoder_type: str = "transformer"   # 'transformer' | 'pixel'
     dtype: object = None   # bf16 compute option for the decoder
+    train_mask_mode: str = "topk"       # see PTransformer.train_mask_mode
 
     def setup(self):
         if self.motion_context:
@@ -119,6 +120,7 @@ class PredictorNet(nn.Module):
                 layers=self.dec_layers, num_code=self.num_code,
                 n_classes=self.n_classes, identity=self.identity,
                 maskgit=self.maskgit, dtype=self.dtype,
+                train_mask_mode=self.train_mask_mode,
             )
 
     def _condition(self, masked_motion, mask, audio, text):

@@ -16,8 +16,9 @@ TPU-first redesign:
     whole T-iteration MaskGit decode compiles to ONE XLA computation.
   * attention uses dot-product attention that XLA fuses; softmax/layernorm
     in f32, matmuls can run bf16.
-  * mask-ratio curricula use uniform-threshold masking (same expectation as
-    the reference's exact top-k count) to stay shape-static under jit.
+  * the train mask-ratio curriculum reproduces the reference's exact top-k
+    count under jit (shape-static: sort + traced-threshold compare instead
+    of scatter); a bernoulli same-expectation variant remains as an option.
 """
 
 from __future__ import annotations
@@ -129,6 +130,18 @@ class StyledDecoderLayer(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="norm3")(x + h)
 
 
+def exact_keep_mask(key, b: int, n: int, keep_frac):
+    """(b, n) bool mask with exactly floor(keep_frac * n) True per row —
+    the reference's rand.topk(r) scatter (PTransformer.py:566-570) as a
+    shape-static sort + traced-threshold compare (jit-safe for traced
+    keep_frac)."""
+    u = jax.random.uniform(key, (b, n))
+    r = jnp.floor(keep_frac * n).astype(jnp.int32)
+    desc = -jnp.sort(-u, axis=-1)
+    thr = desc[:, jnp.clip(r - 1, 0, n - 1)]
+    return (u >= thr[:, None]) & (r > 0)
+
+
 def gamma_schedule(mode: str):
     """MaskGit keep-fraction schedules (reference gamma_func,
     PTransformer.py:578-588)."""
@@ -161,6 +174,11 @@ class PTransformer(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None   # bf16 compute option
     remat: bool = False  # per-layer activation checkpointing (HBM <-> FLOPs)
+    # train-time corruption: 'topk' = reference-exact count
+    # (floor(gamma(epoch_ratio)*N) tokens kept per sample, gamma linear —
+    # random_token, PTransformer.py:559-576); 'bernoulli' = same expected
+    # count via per-token coin flips (round-2 behavior, higher variance)
+    train_mask_mode: str = "topk"
 
     @property
     def mask_id(self) -> int:
@@ -233,7 +251,14 @@ class PTransformer(nn.Module):
             if train:
                 keep = gamma_schedule("linear")(epoch_ratio)
                 key = self.make_rng("mask")
-                keep_mask = jax.random.uniform(key, codes.shape) < keep
+                if self.train_mask_mode == "topk":
+                    # exact count over the flattened (T*G) grid — r identical
+                    # across the batch (reference random_token,
+                    # PTransformer.py:559-576)
+                    keep_mask = exact_keep_mask(key, b, t * g, keep)
+                    keep_mask = keep_mask.reshape(b, t, g)
+                else:
+                    keep_mask = jax.random.uniform(key, codes.shape) < keep
                 codes = jnp.where(keep_mask, codes, self.mask_id)
             x = self.tok_emb(codes).reshape(b, t * g, self.dim)
             x_pe, _ = self._pe(t)

@@ -90,9 +90,12 @@ def pipeline_apply(layer_fn: Callable, stage_params, stream, mesh: Mesh,
                                        a[jnp.clip(k, 0, m_count - 1)], b),
                 xs, act)
             out = stage(x_in)
+            # zeros_like (not literal 0.0) keeps each leaf's dtype so
+            # int/bool stream leaves round-trip the psum unchanged
             emit = jax.lax.psum(
-                jax.tree.map(lambda a: jnp.where(idx == s_count - 1, a, 0.0),
-                             out), axis)
+                jax.tree.map(
+                    lambda a: jnp.where(idx == s_count - 1, a,
+                                        jnp.zeros_like(a)), out), axis)
             nxt = jax.lax.ppermute(
                 out, axis, [(i, i + 1) for i in range(s_count - 1)])
             return nxt, emit
@@ -128,7 +131,8 @@ def make_pipelined_refine_layers(model, params, mesh: Mesh,
     stacked = shard_stage_params(
         stack_stage_params(layer_params, mesh.shape[axis]), mesh, axis)
     layer = StyledDecoderLayer(model.dim, model.heads,
-                               styled=model.use_label, dropout=0.0)
+                               styled=model.use_label, dropout=0.0,
+                               dtype=getattr(model, "dtype", None))
 
     def layer_fn(lp, stream):
         h, cond, lab = stream

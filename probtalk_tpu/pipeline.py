@@ -76,7 +76,11 @@ class HolisticPipeline:
 
     # ------------------------------------------------------------------
     def _block(self, x):
-        jax.block_until_ready(x)
+        # value-fetch barrier: block_until_ready returns at enqueue on the
+        # axon backend and would under-measure the stage timers
+        from probtalk_tpu.utils.profiling import device_sync
+
+        device_sync(x)
         return x
 
     def generate_window(self, key, aud_w, speaker, context=None,

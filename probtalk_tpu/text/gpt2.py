@@ -76,9 +76,10 @@ class GPT2Encoder(nn.Module):
     def __call__(self, ids, train: bool = False):
         wte = self.param("wte", nn.initializers.normal(0.02),
                          (self.vocab, self.dim))
-        wpe = self.param("wpe", nn.initializers.normal(0.01),
-                         (self.max_pos, self.dim))
-        # one-hot einsum gather: minor-dim take_along_axis serializes on TPU
+        wpe = self.param("wpe", nn.initializers.normal(0.02),
+                         (self.max_pos, self.dim))   # HF initializer_range
+        # major-dim jnp.take gather (fast on TPU; it's the MINOR-dim
+        # take_along_axis that serializes)
         h = jnp.take(wte, ids, axis=0) + wpe[: ids.shape[1]][None]
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         for i in range(self.layers):
@@ -169,9 +170,17 @@ def make_gpt2_encode_fn(variables=None, seed: int = 0, pad_to: int = 64,
 def make_gpt2_embed_fn(variables=None, tokenize_fn=None, dim: int = 768,
                        seed: int = 0, pad_to: int = 16, **model_kw):
     """-> fn(word) -> (dim,) embedding: GPT-2 last hidden states mean-pooled
-    over the word's tokens (the reference's per-word text feature,
-    ``foundation_models.py:157-159``). Plug into
+    over the word's tokens. Plug into
     ``data.text.text_features(embed_fn=...)``.
+
+    DELIBERATE DEVIATION from the reference's ``get_textfeat``
+    (foundation_models.py:157-159): the reference mean-pools hidden states
+    taken from a whole-sentence contextual forward, so the same word gets
+    different features per sentence; this fn encodes each word in
+    ISOLATION (context-free, cacheable — one forward per unique word
+    instead of per sentence). For reference-faithful contextual features
+    use the sentence-level path: ``data.text.text_features_tokens`` with
+    ``make_gpt2_encode_fn`` (golden-tested vs torch).
 
     ``tokenize_fn(word) -> list[int]`` should be a real BPE tokenizer when
     its vocab files are locally available; the default byte-level fallback

@@ -30,20 +30,31 @@ from probtalk_tpu.utils.interp import resize_time
 # ---------------------------------------------------------------------------
 
 def sample_context_mask(key, bs: int, t: int, context_len: int = 30,
-                        context_prob: float = 0.5):
+                        context_prob: float = 0.5, mode: str = "bank",
+                        zero_rows: int = 64):
     """(bs, t, 1) masks: a random contiguous ``context_len`` window of known
-    motion per sample, active with probability ``context_prob``.
+    motion per sample.
 
-    The reference precomputes a bank of onset-shifted windows and zeroes the
-    first 64 of 128 batch rows (predictor.py:94-96, 213-227) — i.e. half the
-    batch trains unconditioned; here the active half is bernoulli-sampled so
-    the step is batch-order independent.
+    mode='bank' (default, reference-exact): every row draws a window from
+    the precomputed onset-shifted bank, then the first ``zero_rows`` batch
+    rows are zeroed (predictor.py:94-96, 213-227; refiner.py:104-109, 236-
+    240). At the reference's bs=128 that unconditions exactly half the
+    batch; at bs<=64 it unconditions ALL of it — faithfully reproduced.
+
+    mode='bernoulli' (round-2 behavior): each row's window is active with
+    probability ``context_prob`` — batch-order independent, same expected
+    context fraction at bs=128 but a different distribution at small bs.
     """
     k1, k2 = jax.random.split(key)
     start = jax.random.randint(k1, (bs, 1), 0, max(t - context_len + 1, 1))
     pos = jnp.arange(t)[None, :]
     win = (pos >= start) & (pos < start + context_len)
-    active = jax.random.bernoulli(k2, context_prob, (bs, 1))
+    if mode == "bank":
+        active = (jnp.arange(bs) >= zero_rows)[:, None]
+    elif mode == "bernoulli":
+        active = jax.random.bernoulli(k2, context_prob, (bs, 1))
+    else:
+        raise ValueError(mode)
     return (win & active).astype(jnp.float32)[..., None]
 
 
@@ -71,6 +82,7 @@ class PredictorStage(nn.Module):
     decoder_type: str = "transformer"   # 'transformer' | 'pixel'
     # (the reference's config.Model.transformer flag, predictornet.py:56-58)
     dtype: object = None   # bf16 compute option
+    train_mask_mode: str = "topk"       # see PTransformer.train_mask_mode
 
     def setup(self):
         if self.use_audio:
@@ -84,6 +96,7 @@ class PredictorStage(nn.Module):
             maskgit_T=self.maskgit_T, motion_context=self.motion_context,
             use_audio=self.use_audio, use_text=self.use_text,
             decoder_type=self.decoder_type, dtype=self.dtype,
+            train_mask_mode=self.train_mask_mode,
         )
 
     def _encode_conditions(self, aud, text, train):
@@ -105,7 +118,8 @@ class PredictorStage(nn.Module):
 
 
 def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
-                              donate: bool = True):
+                              donate: bool = True,
+                              context_mask_mode: str = "bank"):
     """Jitted predictor train step.
 
     batch: {'poses_fbhe': (B,T,C), 'aud_feat': (B,T,Ca), 'speaker': (B,),
@@ -117,7 +131,7 @@ def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
         k_mask, k_net, k_drop = jax.random.split(rng, 3)
 
         if stage.motion_context:
-            mask = sample_context_mask(k_mask, bs, t)
+            mask = sample_context_mask(k_mask, bs, t, mode=context_mask_mode)
         else:
             mask = jnp.zeros((bs, t, 1), gt.dtype)
         masked_motion = gt * mask
@@ -243,7 +257,7 @@ class RefinerStage(nn.Module):
 
 def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
                             noise_std: float = 0.05, donate: bool = True,
-                            each_dim=None):
+                            each_dim=None, context_mask_mode: str = "bank"):
     """Jitted refiner train step (reference refiner.py:183-311):
     VQ-reconstruct GT, add gaussian noise, blend with GT context, regress."""
     def loss_fn(params, mutables, vq_vars, batch, rng):
@@ -251,7 +265,7 @@ def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
         bs, t, _ = gt.shape
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
 
-        mask = sample_context_mask(k_mask, bs, t)
+        mask = sample_context_mask(k_mask, bs, t, mode=context_mask_mode)
 
         vq_poses, _, _ = vq_model.apply(vq_vars, gt, train=False)
         vq_poses = resize_time(vq_poses, t)

@@ -4,7 +4,10 @@ Upgrades the reference's ad-hoc ``torch.cuda.synchronize()+time.time()``
 timing (``nets/inpainting/predictor.py:423-443``, ``refiner.py:541-554``,
 ``scripts/demo.py:131-181``) to first-class tools:
 
-  * ``timed`` — block-until-ready wall timing for jitted fns
+  * ``device_sync`` — THE completion barrier (a 4-byte scalar fetch);
+    ``jax.block_until_ready`` returns at enqueue time on tunneled backends
+    (axon) and must never guard a timing scope
+  * ``timed`` — wall timing for jitted fns behind ``device_sync``
   * ``trace`` — jax.profiler trace context writing xprof-compatible dumps
   * ``Throughput`` — frames/s and real-time-factor accounting (the fps
     metric of test_holisticbody.py:369)
@@ -21,16 +24,30 @@ from dataclasses import dataclass, field
 import jax
 
 
+def device_sync(x) -> None:
+    """Reliable completion barrier for arbitrary pytrees of device arrays.
+
+    On the axon (tunneled-TPU) backend ``jax.block_until_ready`` returns at
+    enqueue time — only a value fetch guarantees execution finished. A
+    scalar reduction per leaf keeps the fetched payload at 4 bytes
+    (PERFORMANCE.md round-2 findings; the reference's analogue is
+    ``torch.cuda.synchronize``, nets/inpainting/predictor.py:423-443)."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        float(jnp.sum(leaf))
+
+
 def timed(fn, *args, warmup: int = 1, iters: int = 10, **kwargs):
-    """-> (mean_seconds, last_output). Blocks on device completion."""
+    """-> (mean_seconds, last_output). Barriers with ``device_sync``."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 

@@ -28,15 +28,47 @@ def _shade(verts, faces, light_dir):
     return 0.25 + 0.75 * jnp.clip(lam, 0.0, 1.0)
 
 
+def rotation_about(axis: str, radians: float) -> np.ndarray:
+    """(3, 3) rotation about a principal axis."""
+    c, s = np.cos(radians), np.sin(radians)
+    if axis == "x":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    if axis == "y":
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    if axis == "z":
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    raise ValueError(axis)
+
+
+def view_rotation(rotation_times: int, axis: str = "x",
+                  step_degrees: float = 45.0) -> np.ndarray:
+    """The reference's discrete view change: the camera pose rotated
+    ``rotation_times`` x 45 deg (voca/rendering.py rotate_camera_pose,
+    used by ``_render_change_view``, visualise/rendering.py:143-238).
+    Returns the equivalent (3, 3) WORLD rotation about the mesh center."""
+    return rotation_about(axis, -np.deg2rad(step_degrees) * rotation_times)
+
+
+def orbit_camera_path(n_frames: int, total_degrees: float = 360.0,
+                      axis: str = "y") -> np.ndarray:
+    """(T, 3, 3) camera path orbiting the subject across the clip —
+    the continuous version of the reference's rotating-view render."""
+    angles = np.deg2rad(np.linspace(0.0, total_degrees, n_frames,
+                                    endpoint=False))
+    return np.stack([rotation_about(axis, a) for a in angles])
+
+
 def render_mesh(verts, faces, image_size: int = 512, scale: float = 1.8,
                 center=None, color=(0.75, 0.72, 0.68),
                 background=(0.06, 0.06, 0.08),
                 light_dir=(0.3, 0.4, 0.85), row_block: int = 32,
-                tri_chunk: int = 512):
+                tri_chunk: int = 512, camera=None):
     """Rasterize one mesh -> (H, W, 3) float image in [0, 1].
 
     verts (V, 3) float (x right, y up, z toward viewer — orthographic);
-    faces (F, 3) int32. jit-compiled per (V, F, image_size) signature.
+    faces (F, 3) int32; camera: optional (3, 3) world rotation applied
+    about the projection center (the orthographic equivalent of moving the
+    camera). jit-compiled per (V, F, image_size) signature.
     """
     while image_size % row_block:       # row blocks must tile the image
         row_block //= 2
@@ -46,7 +78,9 @@ def render_mesh(verts, faces, image_size: int = 512, scale: float = 1.8,
                        jnp.asarray(color, jnp.float32),
                        jnp.asarray(background, jnp.float32),
                        jnp.asarray(light_dir, jnp.float32),
-                       max(row_block, 1), tri_chunk)
+                       max(row_block, 1), tri_chunk,
+                       None if camera is None
+                       else jnp.asarray(camera, jnp.float32))
 
 
 def _pad_faces(faces, chunk):
@@ -64,10 +98,14 @@ from functools import partial  # noqa: E402
 
 @partial(jax.jit, static_argnums=(2, 8, 9))
 def _render_jit(verts, faces, image_size, scale, center, color, background,
-                light_dir, row_block, tri_chunk):
+                light_dir, row_block, tri_chunk, camera=None):
     h = w = image_size
     if center is None:
         center = verts.mean(0)
+    if camera is not None:
+        # rotate the world about the projection center (orthographic
+        # camera move — the reference's rotating-view capability)
+        verts = (verts - center) @ camera.T + center
     # orthographic projection to pixel coords (y down)
     xy = (verts[:, :2] - center[:2]) * scale
     px = (xy[:, 0] * 0.5 + 0.5) * w
@@ -134,16 +172,27 @@ def _render_jit(verts, faces, image_size, scale, center, color, background,
     return blocks.reshape(h, w, 3)
 
 
-def render_mesh_frames(vertices, faces, image_size: int = 512, **kw):
-    """(T, V, 3) vertices -> list of PIL images (shared auto-center)."""
+def render_mesh_frames(vertices, faces, image_size: int = 512,
+                       camera_path=None, **kw):
+    """(T, V, 3) vertices -> list of PIL images (shared auto-center).
+
+    camera_path: None | (3, 3) fixed view | (T, 3, 3) per-frame rotations
+    (e.g. ``orbit_camera_path`` — the reference's ``_render_change_view``
+    orbit, visualise/rendering.py:143-238)."""
     from PIL import Image
 
     vertices = np.asarray(vertices)
     center = vertices.reshape(-1, 3).mean(0)
+    if camera_path is not None:
+        camera_path = np.asarray(camera_path, np.float32)
+        if camera_path.ndim == 2:
+            camera_path = np.tile(camera_path[None],
+                                  (vertices.shape[0], 1, 1))
     frames = []
     for t in range(vertices.shape[0]):
+        cam = None if camera_path is None else camera_path[t]
         img = np.asarray(render_mesh(vertices[t], faces, image_size,
-                                     center=center, **kw))
+                                     center=center, camera=cam, **kw))
         frames.append(Image.fromarray(
             (np.clip(img, 0, 1) * 255).astype(np.uint8)))
     return frames

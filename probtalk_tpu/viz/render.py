@@ -95,11 +95,14 @@ def save_gif(frames: List, path: str, fps: float = 30.0):
 
 
 def save_mjpeg_avi(frames: List, path: str, fps: float = 30.0,
-                   quality: int = 85):
+                   quality: int = 85, audio: Optional[np.ndarray] = None,
+                   audio_sr: int = 16000):
     """Write an MJPEG AVI (RIFF) — self-contained, no ffmpeg.
 
-    Standard players (vlc/mpv/browsers via conversion) decode MJPEG AVIs;
-    this replaces the reference's cv2.VideoWriter + ffmpeg mux step.
+    ``audio``: optional mono waveform (float in [-1,1] or int16) muxed as
+    an interleaved 16-bit PCM ``auds`` stream — the capability of the
+    reference's ffmpeg audio-mux step (visualise/rendering.py:213-238)
+    without the subprocess. Standard players (vlc/mpv/ffmpeg) decode it.
     """
     w, h = frames[0].size
     jpegs = []
@@ -112,30 +115,57 @@ def save_mjpeg_avi(frames: List, path: str, fps: float = 30.0,
         jpegs.append(data)
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
-        return fourcc + struct.pack("<I", len(payload)) + payload
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
 
     n = len(jpegs)
     fps_i = max(int(round(fps)), 1)
+
+    pcm = None
+    if audio is not None:
+        a = np.asarray(audio)
+        if a.dtype != np.int16:   # float waveform -> 16-bit PCM
+            a = np.clip(np.asarray(a, np.float64), -1.0, 1.0)
+            a = (a * 32767.0).astype(np.int16)
+        pcm = a.reshape(-1)
+
+    n_streams = 1 if pcm is None else 2
     # stream + main headers
-    avih = struct.pack("<14I", int(1e6 / fps_i), 0, 0, 0x10, n, 0, 1, 0,
-                       w, h, 0, 0, 0, 0)
+    avih = struct.pack("<14I", int(1e6 / fps_i), 0, 0, 0x10, n, 0,
+                       n_streams, 0, w, h, 0, 0, 0, 0)
     strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII4H",
                                            0, 0, 0, 0, 1, fps_i, 0, n, 0, 0,
                                            0, 0, 0, w, h)
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)
     strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
 
-    movi_items = b"".join(chunk(b"00dc", j) for j in jpegs)
-    movi = chunk(b"LIST", b"movi" + movi_items)
+    # interleave: per video frame, one '00dc' then that frame's '01wb' span
+    spans = []
+    if pcm is not None:
+        block_align, byte_rate = 2, audio_sr * 2
+        strh_a = b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+            "<IHHIIIIIIII4H", 0, 0, 0, 0, block_align, byte_rate, 0,
+            len(pcm), 0, block_align, 0, 0, 0, 0, 0)
+        strf_a = struct.pack("<HHIIHH", 1, 1, audio_sr, byte_rate,
+                             block_align, 16)   # WAVEFORMATEX, PCM mono
+        hdrl_body += chunk(b"LIST", b"strl" + chunk(b"strh", strh_a)
+                           + chunk(b"strf", strf_a))
+        edges = np.linspace(0, len(pcm), n + 1).astype(np.int64)
+        spans = [pcm[edges[i]: edges[i + 1]].tobytes() for i in range(n)]
+    hdrl = chunk(b"LIST", hdrl_body)
 
-    # idx1 index
-    idx = b""
-    offset = 4
-    for j in jpegs:
+    movi_items, idx, offset = b"", b"", 4
+    for i, j in enumerate(jpegs):
+        movi_items += chunk(b"00dc", j)
         idx += b"00dc" + struct.pack("<III", 0x10, offset, len(j))
-        offset += 8 + len(j)
+        offset += 8 + len(j) + (len(j) % 2)
+        if spans and spans[i]:
+            movi_items += chunk(b"01wb", spans[i])
+            idx += b"01wb" + struct.pack("<III", 0x10, offset, len(spans[i]))
+            offset += 8 + len(spans[i]) + (len(spans[i]) % 2)
+    movi = chunk(b"LIST", b"movi" + movi_items)
     idx1 = chunk(b"idx1", idx)
 
     riff = b"AVI " + hdrl + movi + idx1
@@ -154,32 +184,41 @@ class RenderTool:
         self.fps = fps
         os.makedirs(out_dir, exist_ok=True)
 
-    def _write(self, frames, name: str, fmt: str):
+    def _write(self, frames, name: str, fmt: str, audio=None,
+               audio_sr: int = 16000):
         import os
 
         path = os.path.join(self.out_dir, f"{name}.{fmt}")
         if fmt == "gif":
             save_gif(frames, path, self.fps)
         else:
-            save_mjpeg_avi(frames, path, self.fps)
+            save_mjpeg_avi(frames, path, self.fps, audio=audio,
+                           audio_sr=audio_sr)
         return path
 
     def render_sequences(self, joints_list: List[np.ndarray], name: str,
-                         fmt: str = "avi"):
-        """joints_list: N x (T, J, 3) -> one tiled video file. Returns path."""
+                         fmt: str = "avi", audio=None, audio_sr: int = 16000):
+        """joints_list: N x (T, J, 3) -> one tiled video file. Returns path.
+        ``audio``: the speech waveform, muxed into the AVI (the reference
+        ships it via ffmpeg, visualise/rendering.py:213-238)."""
         frame_lists = [render_skeleton_frames(j, self.image_size)
                        for j in joints_list]
         frames = grid_layout(frame_lists) if len(frame_lists) > 1 else frame_lists[0]
-        return self._write(frames, name, fmt)
+        return self._write(frames, name, fmt, audio, audio_sr)
 
     def render_mesh_sequences(self, vertices_list: List[np.ndarray], faces,
-                              name: str, fmt: str = "avi"):
+                              name: str, fmt: str = "avi", audio=None,
+                              audio_sr: int = 16000, camera_path=None):
         """vertices_list: N x (T, V, 3) SMPL-X vertices -> tiled mesh video
         (the reference's RenderTool._render_sequences path,
-        visualise/rendering.py:107-238, via viz/rasterize.py)."""
+        visualise/rendering.py:107-238, via viz/rasterize.py).
+        ``camera_path``: optional (T, 3, 3) or (3, 3) world rotations
+        applied per frame (the reference's rotating-view variant,
+        ``_render_change_view``, rendering.py:143-238)."""
         from probtalk_tpu.viz.rasterize import render_mesh_frames
 
-        frame_lists = [render_mesh_frames(v, faces, self.image_size)
+        frame_lists = [render_mesh_frames(v, faces, self.image_size,
+                                          camera_path=camera_path)
                        for v in vertices_list]
         frames = grid_layout(frame_lists) if len(frame_lists) > 1 else frame_lists[0]
-        return self._write(frames, name, fmt)
+        return self._write(frames, name, fmt, audio, audio_sr)

@@ -13,6 +13,19 @@ are scored by ONE shared FGD embedder trio (GT-trained, framework-neutral)
 Stage-resumable:  python scripts/parity_full_campaign.py <stage>
 stages: torch_pred | torch_ref | gen_torch | jax | score   (default: next
 incomplete). Torch runs on CPU (no CUDA in image), jax on the TPU.
+
+Round-3 ablation knobs (judge item: isolate the documented training
+deviations behind the per-part FGD gap):
+  PARITY_VARIANT   legacy | ctx | topk | exact   (jax stage only)
+      legacy: round-2 behavior — bernoulli context mask + bernoulli token
+              curriculum, no grad clip
+      ctx:    reference-exact context-mask bank only
+      topk:   reference-exact exact-count token curriculum only
+      exact:  both + per-module grad-norm clip 5 + exact epoch mapping
+  PARITY_JAX_SEED  integer seed offset (default 0) for noise-band runs
+  PARITY_TORCH_TAG artifact suffix + seed offset for a 2nd torch run
+Artifacts: jax stages under experiments/parity_full/<variant>_s<seed>/;
+score() aggregates every variant it finds into PARITY_FGD.json.
 """
 
 from __future__ import annotations
@@ -36,6 +49,25 @@ OUT = os.path.join(REPO, "PARITY_FGD.json")
 STEPS = int(os.environ.get("PARITY_STEPS", 600))
 BS, WINDOW, AUD = 8, 180, 768
 B_GEN = 8          # diversity samples at generation
+
+VARIANT = os.environ.get("PARITY_VARIANT", "exact")
+JAX_SEED = int(os.environ.get("PARITY_JAX_SEED", 0))
+TORCH_TAG = os.environ.get("PARITY_TORCH_TAG", "")
+
+# (context_mask_mode, train_mask_mode, grad_clip)
+VARIANTS = {
+    "legacy": ("bernoulli", "bernoulli", None),
+    "ctx":    ("bank",      "bernoulli", None),
+    "topk":   ("bernoulli", "topk",      None),
+    "exact":  ("bank",      "topk",      5.0),
+}
+
+
+def epoch_ratio_of(i: int) -> float:
+    """The reference's curriculum value at campaign step i: steps map onto a
+    100-'epoch' run, epoch_ratio = min(max(epoch/99, 0.5), 1)
+    (predictor.py:255)."""
+    return float(min(max(int(i * 100 / STEPS) / 99, 0.5), 1.0))
 
 
 def log(msg):
@@ -118,10 +150,10 @@ def train_torch_wrapper(kind: str):
     cfg = torch_config()
     mod = ref_import("nets.inpainting.predictor" if kind == "pred"
                      else "nets.inpainting.refiner")
-    torch.manual_seed(0)
+    torch.manual_seed(hash(TORCH_TAG) % 10000 if TORCH_TAG else 0)
     wrapper = mod.TrainWrapper(make_args(), cfg)
     wrapper.device = torch.device("cpu")   # predictor.py:36 hardcodes 'cuda'
-    ckpt = os.path.join(DIR, f"torch_{kind}_{STEPS}.pth")
+    ckpt = os.path.join(DIR, f"torch_{kind}_{STEPS}{TORCH_TAG}.pth")
     start = 0
     if os.path.exists(ckpt):
         saved = torch.load(ckpt, map_location="cpu", weights_only=False)
@@ -162,8 +194,9 @@ def gen_torch():
     refi = ref_mod.TrainWrapper(make_args(infer=True), cfg)
     pred.device = refi.device = torch.device("cpu")
     for w, kind in ((pred, "pred"), (refi, "ref")):
-        saved = torch.load(os.path.join(DIR, f"torch_{kind}_{STEPS}.pth"),
-                           map_location="cpu", weights_only=False)
+        saved = torch.load(
+            os.path.join(DIR, f"torch_{kind}_{STEPS}{TORCH_TAG}.pth"),
+            map_location="cpu", weights_only=False)
         assert saved["step"] >= STEPS, (kind, saved["step"])
         w.load_state_dict(saved["state"])
 
@@ -173,7 +206,7 @@ def gen_torch():
     idx = body_parts.c_index(True)
     outs, gen_seconds = {}, 0.0
     # per-clip resume: CPU generation can exceed one run's time budget
-    part = os.path.join(DIR, "gen_torch_parts")
+    part = os.path.join(DIR, "gen_torch_parts" + TORCH_TAG)
     os.makedirs(part, exist_ok=True)
     with torch.no_grad():
         for clip in clips:
@@ -224,13 +257,15 @@ def gen_torch():
             np.savez(pf, gen=outs[clip.name], seconds=clip_seconds)
             log(f"torch gen {clip.name}: {outs[clip.name].shape} "
                 f"({clip_seconds:.1f}s)")
-    np.savez(os.path.join(DIR, "gen_torch.npz"), gen_seconds=gen_seconds,
-             **outs)
+    np.savez(os.path.join(DIR, f"gen_torch{TORCH_TAG}.npz"),
+             gen_seconds=gen_seconds, **outs)
     log(f"torch generation total {gen_seconds:.1f}s (CPU)")
 
 
 def train_and_gen_jax():
-    """Fresh jax predictor+refiner at the same steps/batches; generate."""
+    """Fresh jax predictor+refiner at the same steps/batches; generate.
+
+    Honors PARITY_VARIANT/PARITY_JAX_SEED (see module docstring)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -285,18 +320,29 @@ def train_and_gen_jax():
         log("jax vq restored")
     vq_vars = {"params": vq_state.params, **vq_state.mutables}
 
-    pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD)
+    ctx_mode, tok_mode, clip_norm = VARIANTS[VARIANT]
+    vdir = os.path.join(DIR, f"{VARIANT}_s{JAX_SEED}")
+    os.makedirs(vdir, exist_ok=True)
+    koff = 100 * JAX_SEED
+    tx = optax.adam(1e-4)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    log(f"jax variant={VARIANT} seed={JAX_SEED}: ctx={ctx_mode} "
+        f"tok={tok_mode} clip={clip_norm}")
+
+    pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD,
+                          train_mask_mode=tok_mode)
     mask0 = jnp.zeros((BS, WINDOW, 1), jnp.float32)
     codes0 = jnp.zeros((BS, 23, 4), jnp.int32)
     spk0 = jnp.zeros((BS,), jnp.int32)
     aud0 = jnp.zeros((BS, WINDOW, AUD), jnp.float32)
     pstate = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
-                                jax.random.key(2), optax.adam(1e-4),
+                                jax.random.key(2 + koff), tx,
                                 init_kwargs={"train": True})
     # completion markers disambiguate finished runs from step-0 saves
     # (earlier script versions checkpointed completed stages with id 0)
-    pdone = os.path.join(DIR, "jax_pred.done")
-    pck = Checkpointer(os.path.join(DIR, "jax_pred"))
+    pdone = os.path.join(vdir, "jax_pred.done")
+    pck = Checkpointer(os.path.join(vdir, "jax_pred"))
     restored, pstart = pck.restore(pstate)
     if restored is not None:
         pstate = restored
@@ -306,8 +352,9 @@ def train_and_gen_jax():
         pstart = 0
     if pstart < STEPS:
         stream = batch_stream(ds, STEPS, seed0=1)
-        pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
-        key = jax.random.key(3)
+        pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False,
+                                          context_mask_mode=ctx_mode)
+        key = jax.random.key(3 + koff)
         for i, b in enumerate(stream):
             key, k = jax.random.split(key)
             if i < pstart:
@@ -315,7 +362,7 @@ def train_and_gen_jax():
             batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
                      "aud_feat": jnp.asarray(b["aud_feat"]),
                      "speaker": jnp.asarray(b["speaker"]),
-                     "epoch_ratio": np.float32(min(max(i / STEPS, 0.5), 1.0))}
+                     "epoch_ratio": np.float32(epoch_ratio_of(i))}
             pstate, m = pstep(pstate, batch, k)
             if i % 100 == 0 or i == STEPS - 1:
                 log(f"jax pred step {i}: ce {float(m['loss']):.4f}")
@@ -324,10 +371,10 @@ def train_and_gen_jax():
 
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
     rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
-                                jax.random.key(4), optax.adam(1e-4),
+                                jax.random.key(4 + koff), tx,
                                 init_kwargs={"train": True})
-    rdone = os.path.join(DIR, "jax_ref.done")
-    rck = Checkpointer(os.path.join(DIR, "jax_ref"))
+    rdone = os.path.join(vdir, "jax_ref.done")
+    rck = Checkpointer(os.path.join(vdir, "jax_ref"))
     restored, rstart = rck.restore(rstate)
     if restored is not None:
         rstate = restored
@@ -337,8 +384,9 @@ def train_and_gen_jax():
         rstart = 0
     if rstart < STEPS:
         stream = batch_stream(ds, STEPS, seed0=2)
-        rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
-        key = jax.random.key(5)
+        rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False,
+                                        context_mask_mode=ctx_mode)
+        key = jax.random.key(5 + koff)
         for i, b in enumerate(stream):
             key, k = jax.random.split(key)
             if i < rstart:
@@ -359,7 +407,7 @@ def train_and_gen_jax():
     gen = make_streaming_generate(vq, vq_vars, pred, pstate, ref, rstate,
                                   window=180, overlap=30)
     outs, gen_seconds = {}, 0.0
-    key = jax.random.key(7)
+    key = jax.random.key(7 + koff)
     for clip in clips:
         key, k = jax.random.split(key)
         aud = jnp.asarray(clip.aud_feat)[None].repeat(B_GEN, 0)
@@ -371,8 +419,8 @@ def train_and_gen_jax():
         gen_seconds += time.perf_counter() - t0
         outs[clip.name] = np.asarray(out)
         log(f"jax gen {clip.name}: {outs[clip.name].shape}")
-    np.savez(os.path.join(DIR, "gen_jax.npz"), gen_seconds=gen_seconds,
-             **outs)
+    np.savez(os.path.join(DIR, f"gen_jax_{VARIANT}_s{JAX_SEED}.npz"),
+             gen_seconds=gen_seconds, **outs)
     log(f"jax generation total {gen_seconds:.2f}s (TPU, warm)")
 
 
@@ -394,9 +442,20 @@ def score():
     results = {"config": {"steps": STEPS, "vq_steps": 1500, "batch_size": BS,
                           "window": WINDOW, "B_gen": B_GEN,
                           "embedders": "shared GT-trained trio "
-                                       "(experiments/demo_ckpt/emb_*)"}}
-    for side in ("torch", "jax"):
-        z = np.load(os.path.join(DIR, f"gen_{side}.npz"))
+                                       "(experiments/demo_ckpt/emb_*)",
+                          "variants": dict(VARIANTS)}}
+    import glob
+
+    sides = {}
+    for f in sorted(glob.glob(os.path.join(DIR, "gen_torch*.npz"))):
+        tag = os.path.basename(f)[len("gen_torch"):-len(".npz")]
+        sides["torch" + tag] = f
+    if os.path.exists(os.path.join(DIR, "gen_jax.npz")):   # round-2 run
+        sides["jax_legacy_r2"] = os.path.join(DIR, "gen_jax.npz")
+    for f in sorted(glob.glob(os.path.join(DIR, "gen_jax_*.npz"))):
+        sides["jax_" + os.path.basename(f)[len("gen_jax_"):-len(".npz")]] = f
+    for side, path in sides.items():
+        z = np.load(path)
         ev = FGDEvaluator(extract)
         divs = []
         for clip in clips:

@@ -71,6 +71,19 @@ class TestFullHarness:
         assert res["clips"] == 2
         assert len(res["MAAC"]) == 4
 
+    def test_joints_fn_uses_clip_betas(self, rng, smplx_model):
+        """VERDICT r2 item 10: harness joints must be shaped by the clip's
+        own betas (reference test_holisticbody.py:292-299)."""
+        from probtalk_tpu.eval.harness import make_joints_fn
+
+        joints_fn = make_joints_fn(smplx_model)
+        motion = 0.1 * rng.normal(size=(1, 8, 265)).astype(np.float32)
+        neutral = joints_fn(motion)
+        betas = 2.0 * rng.normal(size=300).astype(np.float32)
+        shaped = joints_fn(motion, betas)
+        assert neutral.shape == shaped.shape
+        assert np.abs(neutral - shaped).max() > 1e-4
+
     def test_identical_pred_gives_zero_errors(self, rng):
         j = rng.normal(size=(T, 130, 3))
         pr = np.tile(j[None], (B, 1, 1, 1))

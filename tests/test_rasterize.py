@@ -8,7 +8,13 @@ does with pyrender (visualise/rendering.py:96-238).
 import numpy as np
 import pytest
 
-from probtalk_tpu.viz.rasterize import render_mesh, render_mesh_frames
+from probtalk_tpu.viz.rasterize import (
+    orbit_camera_path,
+    render_mesh,
+    render_mesh_frames,
+    rotation_about,
+    view_rotation,
+)
 
 SZ = 64
 BG = (0.06, 0.06, 0.08)
@@ -30,6 +36,42 @@ class TestRasterizer:
         # center covered, corner background
         assert not np.allclose(img[SZ // 2, SZ // 2], BG)
         np.testing.assert_allclose(img[1, 1], BG, atol=1e-6)
+
+    def test_camera_rotation_moves_subject(self):
+        """VERDICT r2 item 8: camera parameterization — a y-rotation must
+        shift an off-center triangle across the image (the reference's
+        _render_change_view capability, visualise/rendering.py:143-238)."""
+        verts = tri(0.5, shift=0.4)
+        faces = np.asarray([[0, 1, 2]])
+        kw = dict(center=np.zeros(3), tri_chunk=4, row_block=8)
+        base = np.asarray(render_mesh(verts, faces, SZ, **kw))
+        quarter = np.asarray(render_mesh(verts, faces, SZ, **kw,
+                                         camera=rotation_about("y", np.pi / 2)))
+        half = np.asarray(render_mesh(verts, faces, SZ, **kw,
+                                      camera=rotation_about("y", np.pi)))
+        cov = lambda im: (~np.isclose(im, BG).all(-1))
+        # 90 deg: the x-offset triangle rotates toward the z axis
+        assert cov(base).any() and cov(half).any()
+        xs_base = np.nonzero(cov(base).any(0))[0]
+        xs_half = np.nonzero(cov(half).any(0))[0]
+        # 180 deg about y mirrors x: coverage lands on the opposite side
+        np.testing.assert_allclose(xs_half.mean(), SZ - xs_base.mean(),
+                                   atol=2.0)
+        assert not np.array_equal(cov(base), cov(quarter))
+
+    def test_camera_path_helpers(self):
+        path = orbit_camera_path(12, 360.0)
+        assert path.shape == (12, 3, 3)
+        np.testing.assert_allclose(
+            np.linalg.det(path), np.ones(12), atol=1e-5)
+        np.testing.assert_allclose(path[0], np.eye(3), atol=1e-6)
+        # view_rotation(k) == k * 45deg steps
+        np.testing.assert_allclose(
+            view_rotation(2, "y"), rotation_about("y", -np.pi / 2), atol=1e-6)
+        frames = render_mesh_frames(
+            np.stack([tri(0.2, 0.3)] * 4), np.asarray([[0, 1, 2]]), 32,
+            camera_path=orbit_camera_path(4, 360.0), tri_chunk=4, row_block=8)
+        assert len(frames) == 4
 
     def test_occlusion_near_wins(self):
         # front triangle flat (z=1); back triangle tilted so its flat-shade

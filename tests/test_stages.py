@@ -38,7 +38,8 @@ def frozen_vq():
 
 class TestContextMask:
     def test_window_properties(self):
-        m = sample_context_mask(jax.random.key(0), 64, 40, context_len=10)
+        m = sample_context_mask(jax.random.key(0), 64, 40, context_len=10,
+                                mode="bernoulli")
         m = np.asarray(m)[..., 0]
         assert m.shape == (64, 40)
         row_sums = m.sum(-1)
@@ -47,6 +48,23 @@ class TestContextMask:
         for row in m[row_sums == 10]:
             on = np.nonzero(row)[0]
             assert on[-1] - on[0] == 9
+
+    def test_bank_mode_zeroes_first_64_rows(self):
+        # reference semantics (predictor.py:227): rows < 64 unconditioned,
+        # every later row carries exactly one contiguous 30-frame window
+        m = sample_context_mask(jax.random.key(1), 128, 180, context_len=30)
+        m = np.asarray(m)[..., 0]
+        assert m[:64].sum() == 0.0
+        row_sums = m[64:].sum(-1)
+        assert (row_sums == 30.0).all()
+        for row in m[64:]:
+            on = np.nonzero(row)[0]
+            assert on[-1] - on[0] == 29
+
+    def test_bank_mode_small_batch_all_zero(self):
+        # at bs<=64 the reference's mask[:64]=0 zeroes the whole batch
+        m = sample_context_mask(jax.random.key(2), 8, 180, context_len=30)
+        assert float(np.asarray(m).sum()) == 0.0
 
 
 class TestPredictorStage:

@@ -35,12 +35,103 @@ class TestTranscript:
 
     def test_text_features_hash_embed(self):
         words = [(0.0, 0.5, "hello"), (0.5, 1.0, "world")]
-        f = text_lib.text_features(words, 30, fps=30, dim=32)
+        with pytest.warns(UserWarning, match="HASH fallback"):
+            f = text_lib.text_features(words, 30, fps=30, dim=32)
         assert f.shape == (30, 32)
         # same word -> same embedding; different words differ
         np.testing.assert_allclose(f[0], f[10], atol=0)
         assert not np.allclose(f[0], f[20])
         np.testing.assert_allclose(np.linalg.norm(f[0]), 1.0, rtol=1e-5)
+
+
+class TestLoudTextFallback:
+    """VERDICT r2 weak #4: pretrained text choices must not silently
+    degrade to hash noise (reference loads real weights,
+    foundation_models.py:46-110)."""
+
+    @pytest.mark.smoke
+    @pytest.mark.parametrize("choice", ["clip", "bert", "t5", "gpt2"])
+    def test_missing_weights_raise(self, choice, monkeypatch):
+        monkeypatch.setenv("HF_HUB_OFFLINE", "1")   # fail fast, no egress
+        with pytest.raises(text_lib.MissingTextWeightsError):
+            text_lib.make_text_embed_fn(choice)
+
+    @pytest.mark.smoke
+    def test_optin_warns_every_use(self):
+        with pytest.warns(UserWarning, match="HASH fallback"):
+            fn, dim = text_lib.make_text_embed_fn("clip", allow_hash=True)
+        assert dim == text_lib.TEXT_DIMS["clip"]
+        assert fn("hello").shape == (dim,)
+
+    @pytest.mark.smoke
+    def test_explicit_hash_choice_is_quiet(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            fn, dim = text_lib.make_text_embed_fn("hash", dim=32)
+        assert fn("x").shape == (32,)
+
+    def test_build_cache_raises_before_work(self, tmp_path):
+        from probtalk_tpu.cli.data_build import build_cache
+
+        with pytest.raises(text_lib.MissingTextWeightsError):
+            build_cache("/nonexistent", str(tmp_path), ["oliver"],
+                        "/root/reference/data_utils/hand_component.json",
+                        text="clip")
+
+
+class TestAviAudioMux:
+    """VERDICT r2 item 6: demo videos must carry the speech track (the
+    reference muxes with ffmpeg, visualise/rendering.py:213-238; ours is a
+    PCM 'auds' stream in the RIFF/AVI container)."""
+
+    def _frames(self, n=5, size=32):
+        from PIL import Image
+
+        return [Image.new("RGB", (size, size), (i * 10, 0, 0))
+                for i in range(n)]
+
+    @pytest.mark.smoke
+    def test_avi_carries_pcm_stream(self, tmp_path):
+        import struct
+
+        from probtalk_tpu.viz.render import save_mjpeg_avi
+
+        wav = (0.5 * np.sin(np.linspace(0, 440 * np.pi, 8000))).astype(
+            np.float32)
+        path = str(tmp_path / "a.avi")
+        save_mjpeg_avi(self._frames(), path, fps=30.0, audio=wav,
+                       audio_sr=16000)
+        data = open(path, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert b"auds" in data and b"01wb" in data
+        # avih dwStreams == 2
+        avih_off = data.index(b"avih") + 8
+        n_streams = struct.unpack_from("<I", data, avih_off + 24)[0]
+        assert n_streams == 2
+        # total PCM payload == 2 bytes x samples
+        total, off = 0, 0
+        while True:
+            off = data.find(b"01wb", off)
+            if off < 0 or off >= data.index(b"idx1"):
+                break
+            total += struct.unpack_from("<I", data, off + 4)[0]
+            off += 8
+        assert total == 2 * len(wav)
+
+    @pytest.mark.smoke
+    def test_avi_without_audio_single_stream(self, tmp_path):
+        import struct
+
+        from probtalk_tpu.viz.render import save_mjpeg_avi
+
+        path = str(tmp_path / "v.avi")
+        save_mjpeg_avi(self._frames(), path, fps=30.0)
+        data = open(path, "rb").read()
+        avih_off = data.index(b"avih") + 8
+        assert struct.unpack_from("<I", data, avih_off + 24)[0] == 1
+        assert b"01wb" not in data
 
 
 class TestViz:

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from probtalk_tpu.models.ptransformer import PTransformer, sinusoidal_table
+from probtalk_tpu.models.ptransformer import (
+    PTransformer,
+    exact_keep_mask,
+    sinusoidal_table,
+)
 from probtalk_tpu.models.predictor import MotionContextEncoder
 from probtalk_tpu.models.rtransformer import RTransformer
 
@@ -74,6 +78,26 @@ class TestPTransformer:
         ids = model.apply(variables, jnp.zeros((B,), jnp.int32), cond,
                           method=model.sample_max)
         assert np.asarray(ids).shape == (B, T, G)
+
+
+class TestExactKeepMask:
+    """Reference random_token parity: exactly floor(gamma*N) tokens kept per
+    sample (PTransformer.py:559-576), shape-static under jit."""
+
+    def test_exact_count_per_row(self):
+        for frac in (0.0, 0.13, 0.5, 0.99, 1.0):
+            m = np.asarray(exact_keep_mask(jax.random.key(3), 4, 92, frac))
+            assert (m.sum(-1) == int(np.floor(frac * 92))).all(), frac
+
+    def test_traced_frac_under_jit(self):
+        f = jax.jit(lambda fr: exact_keep_mask(jax.random.key(0), 8, 64, fr))
+        m = np.asarray(f(jnp.float32(0.5)))
+        assert (m.sum(-1) == 32).all()
+        assert np.asarray(f(jnp.float32(0.0))).sum() == 0
+
+    def test_rows_differ(self):
+        m = np.asarray(exact_keep_mask(jax.random.key(5), 8, 64, 0.5))
+        assert not all((m[0] == m[i]).all() for i in range(1, 8))
 
 
 class TestMotionContextEncoder:
