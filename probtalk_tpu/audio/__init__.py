@@ -4,3 +4,8 @@ from probtalk_tpu.audio.hubert import (  # noqa: F401
     convert_hf_hubert,
     make_hubert_feature_fn,
 )
+from probtalk_tpu.audio.speech2text import (  # noqa: F401
+    Speech2TextEncoder,
+    convert_hf_speech2text,
+    make_s2t_feature_fn,
+)

@@ -29,15 +29,60 @@ def find_clips(data_root: str, speakers):
                 yield sp, clip, base
 
 
+def find_clips_split(data_root: str, split_npy: str):
+    """The reference's ``dataset_load_mode='json'`` discovery
+    (``data_utils/dataloader_torch.py:163-190``): entries of a pinned
+    split .npy (``speaker/vid/clip``), with the reference's directory-name
+    fallbacks (``__`` -> ``_`` -> ``_``->space) for renamed folders."""
+    for item in np.load(split_npy).tolist():
+        speaker, mid, clip = str(item).split("/")
+        for mid_try in (mid, mid.replace("__", "_"), mid.replace("_", " ")):
+            base = os.path.join(data_root, speaker, mid_try, clip, clip)
+            if os.path.isfile(base + ".pkl") and os.path.isfile(base + ".wav"):
+                yield speaker, f"{mid_try}__{clip}", base
+                break
+
+
+def find_clips_nested(data_root: str, speakers, split: str = "train",
+                      clip_prefix: str = ""):
+    """The reference's ``dataset_load_mode='old_json'`` discovery
+    (``data_utils/dataloader_torch.py:91-160``): walk
+    ``<root>/<speaker>/<vid>/<split>/<clip>/<clip>.{pkl,wav}``."""
+    for sp in speakers:
+        sp_dir = os.path.join(data_root, sp)
+        if not os.path.isdir(sp_dir):
+            continue
+        for vid in sorted(os.listdir(sp_dir)):
+            vid_pth = os.path.join(sp_dir, vid, split)
+            if not os.path.isdir(vid_pth):
+                continue
+            for clip in sorted(os.listdir(vid_pth)):
+                if clip_prefix and not clip.startswith(clip_prefix):
+                    continue
+                base = os.path.join(vid_pth, clip, clip)
+                if os.path.isfile(base + ".pkl") and \
+                        os.path.isfile(base + ".wav"):
+                    yield sp, f"{vid}__{clip}", base
+
+
 def build_cache(data_root: str, cache_dir: str, speakers, hand_component_path: str,
                 audio_feat: str = "mfcc", audio_feat_dim: int = 64,
                 convert_to_6d: bool = True, max_clips: int = None,
                 text: str = None, text_variables=None,
-                allow_hash: bool = False, audio_fn=None):
+                allow_hash: bool = False, audio_fn=None,
+                layout: str = "flat", split_npy: str = None,
+                split: str = "train"):
     """text: None | 'ton' | 'gpt2' | 'bert' | 'clip' | 't5' | 'hash' — adds
     per-frame text_feat from the clip transcript (reference get_textfeat,
     foundation_models.py:46-110). Pretrained choices raise
-    MissingTextWeightsError without weights unless allow_hash."""
+    MissingTextWeightsError without weights unless allow_hash.
+
+    layout: clip discovery mode, mirroring the reference's three
+    ``dataset_load_mode`` values (dataloader_torch.py:75-190):
+      'flat'   — <root>/<speaker>/<clip>/<clip>.pkl (demo_audio; the
+                 pickle-cache layout once built)
+      'split'  — entries of ``split_npy`` (the reference 'json' mode)
+      'nested' — <root>/<speaker>/<vid>/<split>/<clip>/ ('old_json')"""
     from probtalk_tpu.core.body_parts import SPEAKER_ID
     from probtalk_tpu.data.preprocess import preprocess_clip, compute_norm_stats
     from probtalk_tpu.data import text as text_lib
@@ -51,7 +96,15 @@ def build_cache(data_root: str, cache_dir: str, speakers, hand_component_path: s
     os.makedirs(cache_dir, exist_ok=True)
     poses_all, expr_all = [], []
     count = 0
-    for sp, clip, base in find_clips(data_root, speakers):
+    if layout == "flat":
+        clip_iter = find_clips(data_root, speakers)
+    elif layout == "split":
+        clip_iter = find_clips_split(data_root, split_npy)
+    elif layout == "nested":
+        clip_iter = find_clips_nested(data_root, speakers, split)
+    else:
+        raise ValueError(layout)
+    for sp, clip, base in clip_iter:
         if max_clips is not None and count >= max_clips:
             break
         out_path = os.path.join(cache_dir, f"{sp}__{clip}.npz")
@@ -62,13 +115,18 @@ def build_cache(data_root: str, cache_dir: str, speakers, hand_component_path: s
             count += 1
             continue
         wav = base + ".wav" if os.path.exists(base + ".wav") else None
-        if audio_feat in ("wav2vec", "hubert") and audio_fn is None:
+        if audio_feat in ("wav2vec", "hubert", "speech2text") \
+                and audio_fn is None:
             # flax encoder at full architecture; random-init when no
             # checkpoint is vendored (converters exist for the HF weights)
             if audio_feat == "hubert":
                 from probtalk_tpu.audio.hubert import make_hubert_feature_fn
 
                 audio_fn = make_hubert_feature_fn()
+            elif audio_feat == "speech2text":
+                from probtalk_tpu.audio.speech2text import make_s2t_feature_fn
+
+                audio_fn = make_s2t_feature_fn()
             else:
                 from probtalk_tpu.audio.wav2vec2 import make_wav2vec_feature_fn
 
@@ -136,10 +194,22 @@ def main(argv=None):
     p.add_argument("--text_fallback", default=None, choices=[None, "hash"],
                    help="explicit opt-in to hash embeddings when the "
                         "chosen text encoder has no weights")
+    p.add_argument("--layout", default="flat",
+                   choices=["flat", "split", "nested"],
+                   help="clip discovery: flat (demo_audio), split "
+                        "(reference 'json' mode via --split_npy), nested "
+                        "(reference 'old_json' mode)")
+    p.add_argument("--split_npy", default=None,
+                   help="split file for --layout split, e.g. "
+                        "/root/reference/data_utils/split/val_split.npy")
+    p.add_argument("--split", default="train",
+                   help="split subdir for --layout nested")
     args = p.parse_args(argv)
     build_cache(args.data_root, args.cache_dir, args.speakers,
                 args.hand_component, args.audio_feat,
-                text=args.text, allow_hash=args.text_fallback == "hash")
+                text=args.text, allow_hash=args.text_fallback == "hash",
+                layout=args.layout, split_npy=args.split_npy,
+                split=args.split)
 
 
 if __name__ == "__main__":

@@ -149,10 +149,11 @@ def preprocess_clip(
             feat = audio_lib.log_mel(wav, sr=audio_sr,
                                      hop=int(round(audio_sr / fps)),
                                      n_mels=audio_feat_dim)
-        elif audio_feat in ("wav2vec", "hubert"):
-            # both ride the same last-hidden-state plug-in interface
+        elif audio_feat in ("wav2vec", "hubert", "speech2text"):
+            # all ride the same last-hidden-state plug-in interface
             # (reference encoder_choice branch, data_utils/utils.py:162-176;
-            # hubert fn from audio.hubert.make_hubert_feature_fn, 1024-d)
+            # hubert: audio.hubert.make_hubert_feature_fn, 1024-d;
+            # speech2text: audio.speech2text.make_s2t_feature_fn)
             assert wav2vec_fn is not None, f"pass a {audio_feat} feature fn"
             feat = np.asarray(wav2vec_fn(wav))
         else:

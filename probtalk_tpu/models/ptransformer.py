@@ -93,12 +93,23 @@ class StyledDecoderLayer(nn.Module):
     dropout: float = 0.1
     styled: bool = True
     dtype: Optional[jnp.dtype] = None   # bf16 compute, f32 params/norms
+    # Pallas blockwise attention for long (>window) eval sequences —
+    # O(L*block) attention memory instead of the full (L, L) tensor
+    # (ops/flash_attention.py; param-compatible with the XLA module)
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, cond, label_embed, causal_mask=None, train: bool = False):
         det = not train
 
-        def attn(name):
+        def attn(name, needs_mask=False):
+            if self.flash and not train and not needs_mask:
+                from probtalk_tpu.ops.flash_attention import (
+                    FlashMultiHeadAttention,
+                )
+
+                return FlashMultiHeadAttention(
+                    num_heads=self.heads, qkv_features=self.dim, name=name)
             return nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, qkv_features=self.dim,
                 dropout_rate=self.dropout, deterministic=det, name=name,
@@ -106,7 +117,8 @@ class StyledDecoderLayer(nn.Module):
             )
 
         # self-attention
-        h = attn("self_attn")(x, x, mask=causal_mask)
+        h = attn("self_attn", needs_mask=causal_mask is not None)(
+            x, x, mask=causal_mask)
         if self.styled:
             h = StylizationBlock(self.dim, name="style_1")(h, label_embed, train)
         h = nn.Dropout(self.dropout, deterministic=det)(h)

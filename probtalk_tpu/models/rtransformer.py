@@ -30,6 +30,7 @@ class RTransformer(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None   # bf16 compute option
     remat: bool = False  # per-layer activation checkpointing
+    flash: bool = False  # Pallas blockwise attention (long-clip eval)
 
     @nn.compact
     def __call__(self, x, audio, mask, label, train: bool = False):
@@ -55,7 +56,8 @@ class RTransformer(nn.Module):
         for i in range(self.layers):
             h = layer_cls(
                 self.dim, self.heads, styled=self.use_label,
-                dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}",
+                dropout=self.dropout, dtype=self.dtype, flash=self.flash,
+                name=f"layer_{i}",
             )(h, cond, label_embed, None, train)
 
         out = nn.Dense(1024, name="out_hidden")(h)

@@ -243,12 +243,13 @@ class RefinerStage(nn.Module):
     layers: int = 6
     motion_context: bool = True
     dtype: object = None   # bf16 compute option
+    flash: bool = False    # Pallas blockwise attention (long-clip eval)
 
     def setup(self):
         self.net = RTransformer(
             in_dim=self.in_dim, condi_dim=self.aud_dim, layers=self.layers,
             n_classes=self.n_classes, motion_context=self.motion_context,
-            dtype=self.dtype,
+            dtype=self.dtype, flash=self.flash,
         )
 
     def __call__(self, x, aud, mask, label, train: bool = False):

@@ -1,0 +1,291 @@
+"""Long-horizon training campaign: 50k total steps on the demo corpus.
+
+VERDICT r2 item 2: prove the framework holds up past toy scale — 20k VQ +
+15k predictor + 15k refiner steps (the reference's envelope is 100 epochs
+x batch 128, config/transformer.json:66-77), tracking:
+  * per-stage loss curves
+  * PQ codebook health: per-group usage fraction + perplexity from the
+    EMA cluster statistics (dead-codebook detection)
+  * gradient norms (divergence detection)
+  * FGD(fe/bh/fbhe) every FGD_EVERY refiner steps through the compiled
+    streaming generator, scored by the shared GT-trained embedder trio
+
+Telemetry appends to experiments/long_campaign/telemetry.jsonl; summary to
+LONG_CAMPAIGN.json. Step-granular resume: checkpoints every SAVE_EVERY
+steps, safe to kill/restart at any point.
+
+Run (daemon): nohup setsid python scripts/long_campaign.py &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF = "/root/reference"
+CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
+DIR = os.path.join(REPO, "experiments", "long_campaign")
+TELEMETRY = os.path.join(DIR, "telemetry.jsonl")
+OUT = os.path.join(REPO, "LONG_CAMPAIGN.json")
+EMB_DIR = os.path.join(REPO, "experiments", "demo_ckpt")
+
+STEPS_VQ = int(os.environ.get("LC_STEPS_VQ", 20000))
+STEPS_PRED = int(os.environ.get("LC_STEPS_PRED", 15000))
+STEPS_REF = int(os.environ.get("LC_STEPS_REF", 15000))
+LOG_EVERY = 250
+SAVE_EVERY = 1000
+FGD_EVERY = int(os.environ.get("LC_FGD_EVERY", 2500))
+BS, WINDOW, AUD = 8, 176, 64
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def emit(rec: dict):
+    rec["t"] = time.time()
+    with open(TELEMETRY, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def codebook_health(mutables) -> dict:
+    """Usage + perplexity per group from the PQ EMA cluster stats
+    (quant/pq.py PQState; the health signals the reference's EMA update
+    maintains implicitly via dead-code restart, vqvae_modules.py:494-534)."""
+    st = mutables["quant"]["pq"]
+    counts = np.asarray(st.ema_counts, np.float64)          # (G, K) hidden
+    tot = counts.sum(-1, keepdims=True) + 1e-12
+    p = counts / tot
+    perp = np.exp(-(p * np.log(p + 1e-12)).sum(-1))         # (G,)
+    usage = (p > 1.0 / (4 * p.shape[-1])).mean(-1)          # active codes
+    return {"perplexity": [round(float(x), 2) for x in perp],
+            "usage": [round(float(x), 3) for x in usage]}
+
+
+class StepCkpt:
+    """Step-granular orbax resume for one stage."""
+
+    def __init__(self, name):
+        from probtalk_tpu.train.trainer import Checkpointer
+
+        self.ck = Checkpointer(os.path.join(DIR, name))
+        self.name = name
+
+    def restore(self, state):
+        restored, step = self.ck.restore(state)
+        if restored is None:
+            return state, 0
+        log(f"{self.name}: resumed at step {step + 1}")
+        return restored, step + 1
+
+    def save(self, step, state):
+        self.ck.save(step, state, wait=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.makedirs(DIR, exist_ok=True)
+    log(f"backend: {jax.default_backend()}")
+
+    from probtalk_tpu.cli.data_build import build_cache, load_cached_clips
+    from probtalk_tpu.data.dataset import WindowedDataset
+
+    build_cache(f"{REF}/demo_audio", CACHE,
+                ["oliver", "chemistry", "seth", "conan"],
+                f"{REF}/data_utils/hand_component.json", audio_feat="mfcc")
+    clips, mean, std = load_cached_clips(CACHE)
+    ds = WindowedDataset(clips, window=WINDOW, stride=6, mean=mean, std=std)
+    log(f"{len(clips)} clips, {len(ds)} windows")
+
+    def batches(seed):
+        while True:
+            for b in ds.fbhe_batches(BS, seed=seed):
+                yield b
+            seed += 1
+
+    from probtalk_tpu.models.vqvae import VQVAE
+    from probtalk_tpu.train.state import create_train_state, adamw
+    from probtalk_tpu.train.steps import make_vq_train_step, make_eval_recon_fn
+    from probtalk_tpu.train.stages import (
+        PredictorStage, RefinerStage, make_predictor_train_step,
+        make_refiner_train_step,
+    )
+
+    summary = {"steps": {"vq": STEPS_VQ, "pred": STEPS_PRED,
+                         "ref": STEPS_REF},
+               "batch": BS, "window": WINDOW}
+
+    # ---------------- stage 1: PQ-VAE (20k) ----------------
+    vq = VQVAE(in_dim=376, embedding_dim=512, num_codes=128, groups=4,
+               hiddens=1024, res_layers=2)
+    x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
+    vq_state = create_train_state(vq, (x0,), jax.random.key(0), adamw(1e-4),
+                                  init_kwargs={"train": True})
+    ck = StepCkpt("vq")
+    vq_state, start = ck.restore(vq_state)
+    if start < STEPS_VQ:
+        step = make_vq_train_step(vq, donate=False)
+        it, key = batches(0), jax.random.key(1)
+        skipped = 0
+        t0 = time.time()
+        for i in range(STEPS_VQ):
+            key, k = jax.random.split(key)
+            b = next(it)
+            if i < start:
+                continue
+            vq_state, m = step(
+                vq_state, {"poses_fbhe": jnp.asarray(b["poses_fbhe"])}, k)
+            if i % LOG_EVERY == 0 or i == STEPS_VQ - 1:
+                health = codebook_health(vq_state.mutables)
+                rec = {"stage": "vq", "step": i,
+                       "loss": round(float(m["loss"]), 4),
+                       "rec": round(float(m["rec_loss"]), 4),
+                       **health}
+                emit(rec)
+                log(f"vq {i}: loss {rec['loss']} perp {health['perplexity']}"
+                    f" usage {health['usage']}")
+            if i and i % SAVE_EVERY == 0 or i == STEPS_VQ - 1:
+                ck.save(i, vq_state)
+        log(f"vq stage done in {time.time()-t0:.0f}s")
+    vq_vars = {"params": vq_state.params, **vq_state.mutables}
+    summary["vq_health_final"] = codebook_health(vq_state.mutables)
+
+    recon = make_eval_recon_fn(vq)
+    cap = [float(recon(vq_state, jnp.asarray(b["poses_fbhe"]))[1])
+           for b in ds.fbhe_batches(BS, seed=99, shuffle=False)]
+    summary["vq_capacity_l1"] = round(float(np.mean(cap)), 4)
+    log(f"vq capacity {summary['vq_capacity_l1']}")
+
+    # ---------------- stage 2: predictor (15k) ----------------
+    pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD)
+    mask0 = jnp.zeros((BS, WINDOW, 1), jnp.float32)
+    codes0 = jnp.zeros((BS, 22, 4), jnp.int32)
+    spk0 = jnp.zeros((BS,), jnp.int32)
+    aud0 = jnp.zeros((BS, WINDOW, AUD), jnp.float32)
+    pstate = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
+                                jax.random.key(2), adamw(1e-4),
+                                init_kwargs={"train": True})
+    ck = StepCkpt("pred")
+    pstate, start = ck.restore(pstate)
+    if start < STEPS_PRED:
+        pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
+        it, key = batches(100), jax.random.key(3)
+        t0 = time.time()
+        for i in range(STEPS_PRED):
+            key, k = jax.random.split(key)
+            b = next(it)
+            if i < start:
+                continue
+            # reference curriculum mapped onto the step budget
+            er = np.float32(min(max(int(i * 100 / STEPS_PRED) / 99, 0.5), 1))
+            batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
+                     "aud_feat": jnp.asarray(b["aud_feat"]),
+                     "speaker": jnp.asarray(b["speaker"]),
+                     "epoch_ratio": er}
+            pstate, m = pstep(pstate, batch, k)
+            if i % LOG_EVERY == 0 or i == STEPS_PRED - 1:
+                rec = {"stage": "pred", "step": i,
+                       "ce": round(float(m["loss"]), 4),
+                       "code_acc": round(float(m["code_acc"]), 4),
+                       "grad_norm": round(float(m["grad_norm"]), 3)}
+                emit(rec)
+                log(f"pred {i}: ce {rec['ce']} acc {rec['code_acc']}")
+            if i and i % SAVE_EVERY == 0 or i == STEPS_PRED - 1:
+                ck.save(i, pstate)
+        log(f"pred stage done in {time.time()-t0:.0f}s")
+
+    # ---------------- stage 3: refiner (15k) + FGD track ----------------
+    ref = RefinerStage(in_dim=376, aud_dim=AUD)
+    rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
+                                jax.random.key(4), adamw(1e-4),
+                                init_kwargs={"train": True})
+    ck = StepCkpt("ref")
+    rstate, start = ck.restore(rstate)
+
+    # FGD scorer over the shared GT-trained embedder trio
+    fgd_ready = os.path.isdir(os.path.join(EMB_DIR, "emb_fbhe"))
+    if fgd_ready:
+        from probtalk_tpu.cli.test_holistic import build_embedders
+        from probtalk_tpu.eval.fgd import FGDEvaluator
+        from probtalk_tpu.eval.harness import unfold_windows
+        from probtalk_tpu.streaming import make_streaming_generate
+        from probtalk_tpu.core import body_parts
+
+        extract = build_embedders(clips, mean, std, ckpt_dir=EMB_DIR)
+        idx = body_parts.c_index(True)
+
+        def fgd_now(rs, key):
+            gen = make_streaming_generate(vq, vq_vars, pred, pstate, ref, rs,
+                                          window=176, overlap=30)
+            ev = FGDEvaluator(extract)
+            for clip in clips:
+                key, k = jax.random.split(key)
+                aud = jnp.asarray(clip.aud_feat)[None].repeat(8, 0)
+                spk = jnp.full((8,), int(clip.speaker), jnp.int32)
+                out = np.asarray(gen(k, aud, spk))
+                full = (np.concatenate([clip.poses, clip.expression], -1)
+                        - mean) / std
+                gt = np.concatenate([full[:, :6], full[:, :330][:, idx],
+                                     full[:, 330:]], -1)
+                t = min(out.shape[1], gt.shape[0])
+                ev.push_samples(unfold_windows(out[:, :t]),
+                                unfold_windows(gt[:t]))
+            return {w: round(ev.get_scores(w)[0], 4)
+                    for w in ("fe", "bh", "fbhe")}
+
+    if start < STEPS_REF:
+        rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
+        it, key = batches(200), jax.random.key(5)
+        t0 = time.time()
+        for i in range(STEPS_REF):
+            key, k = jax.random.split(key)
+            b = next(it)
+            if i < start:
+                continue
+            batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
+                     "aud_feat": jnp.asarray(b["aud_feat"]),
+                     "speaker": jnp.asarray(b["speaker"])}
+            rstate, m = rstep(rstate, batch, k)
+            if i % LOG_EVERY == 0 or i == STEPS_REF - 1:
+                rec = {"stage": "ref", "step": i,
+                       "loss": round(float(m["loss"]), 4),
+                       "grad_norm": round(float(m["grad_norm"]), 3)}
+                emit(rec)
+                log(f"ref {i}: loss {rec['loss']}")
+            if fgd_ready and i and (i % FGD_EVERY == 0 or i == STEPS_REF - 1):
+                key, k = jax.random.split(key)
+                scores = fgd_now(rstate, k)
+                emit({"stage": "fgd", "step": i, **scores})
+                log(f"FGD @ ref {i}: {scores}")
+            if i and i % SAVE_EVERY == 0 or i == STEPS_REF - 1:
+                ck.save(i, rstate)
+        log(f"ref stage done in {time.time()-t0:.0f}s")
+
+    if fgd_ready:
+        summary["fgd_final"] = fgd_now(rstate, jax.random.key(77))
+        log(f"final FGD: {summary['fgd_final']}")
+
+    # loss/health curves digest from telemetry
+    curves = {"vq": [], "pred": [], "ref": [], "fgd": []}
+    if os.path.exists(TELEMETRY):
+        for line in open(TELEMETRY):
+            r = json.loads(line)
+            curves.setdefault(r["stage"], []).append(r)
+    summary["n_telemetry"] = {k: len(v) for k, v in curves.items()}
+    json.dump(summary, open(OUT, "w"), indent=2)
+    log(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,3 +114,41 @@ class TestWindowedDataset:
         assert b["speaker"].shape == (4,)
         # normalized data should be roughly standard scale
         assert np.abs(b["poses_fbhe"]).mean() < 5.0
+
+
+class TestClipDiscoveryModes:
+    """The reference's three dataset_load_mode layouts
+    (dataloader_torch.py:75-190) as discovery iterators."""
+
+    def _touch(self, base):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        open(base + ".pkl", "wb").write(b"x")
+        open(base + ".wav", "wb").write(b"x")
+
+    def test_nested_old_json_layout(self, tmp_path):
+        from probtalk_tpu.cli.data_build import find_clips_nested
+
+        root = str(tmp_path)
+        self._touch(os.path.join(root, "oliver", "vid1", "train",
+                                 "clip0", "clip0"))
+        self._touch(os.path.join(root, "oliver", "vid1", "test",
+                                 "clip1", "clip1"))
+        self._touch(os.path.join(root, "seth", "vid2", "train",
+                                 "clip2", "clip2"))
+        got = list(find_clips_nested(root, ["oliver", "seth"], "train"))
+        assert [(s, c) for s, c, _ in got] == [
+            ("oliver", "vid1__clip0"), ("seth", "vid2__clip2")]
+
+    def test_split_json_layout_with_fallbacks(self, tmp_path):
+        from probtalk_tpu.cli.data_build import find_clips_split
+
+        root = str(tmp_path)
+        # exact match + the reference's '__' -> '_' directory fallback
+        self._touch(os.path.join(root, "oliver", "a__b", "c0", "c0"))
+        self._touch(os.path.join(root, "seth", "x_y", "c1", "c1"))
+        split = str(tmp_path / "split.npy")
+        np.save(split, np.asarray(["oliver/a__b/c0", "seth/x__y/c1",
+                                   "conan/missing/c2"]))
+        got = list(find_clips_split(root, split))
+        assert [(s, c) for s, c, _ in got] == [
+            ("oliver", "a__b__c0"), ("seth", "x_y__c1")]
