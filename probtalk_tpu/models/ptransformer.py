@@ -186,6 +186,8 @@ class PTransformer(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None   # bf16 compute option
     remat: bool = False  # per-layer activation checkpointing (HBM <-> FLOPs)
+    flash: bool = False  # Pallas blockwise attention (long-T maskgit eval;
+    #                      causal AR decode stays on XLA attention)
     # train-time corruption: 'topk' = reference-exact count
     # (floor(gamma(epoch_ratio)*N) tokens kept per sample, gamma linear —
     # random_token, PTransformer.py:559-576); 'bernoulli' = same expected
@@ -211,7 +213,7 @@ class PTransformer(nn.Module):
         self.decoder = [
             layer_cls(self.dim, self.heads, styled=self.identity,
                       dropout=self.dropout, dtype=self.dtype,
-                      name=f"layer_{i}")
+                      flash=self.flash, name=f"layer_{i}")
             for i in range(self.layers)
         ]
         self.out_hidden = nn.Dense(512, name="out_hidden")

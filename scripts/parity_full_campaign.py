@@ -21,7 +21,9 @@ deviations behind the per-part FGD gap):
               curriculum, no grad clip
       ctx:    reference-exact context-mask bank only
       topk:   reference-exact exact-count token curriculum only
-      exact:  both + per-module grad-norm clip 5 + exact epoch mapping
+      exact:  both + grad-norm clip 5 (global-norm; the reference clips
+              each module separately at 5 — global is the jax idiom and
+              at least as tight) + exact epoch mapping
   PARITY_JAX_SEED  integer seed offset (default 0) for noise-band runs
   PARITY_TORCH_TAG artifact suffix + seed offset for a 2nd torch run
 Artifacts: jax stages under experiments/parity_full/<variant>_s<seed>/;
