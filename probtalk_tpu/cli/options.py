@@ -40,9 +40,12 @@ def parse_args(argv=None):
                    help="overrides config DataLoader.batch_size")
     p.add_argument("--num_devices", type=int, default=None,
                    help="mesh size; default all visible devices")
-    p.add_argument("--loader", type=str, default="native",
-                   choices=["native", "python"],
-                   help="batch producer: the C++ double-buffered native "
-                        "loader (the reference DataLoader(workers=8) role) "
-                        "or the python WindowedDataset")
+    p.add_argument("--loader", type=str, default="device",
+                   choices=["device", "native", "python"],
+                   help="batch producer: 'device' = HBM-resident corpus "
+                        "(index-only steps; falls back to native if the "
+                        "corpus exceeds HBM), 'native' = C++ double-buffered "
+                        "producer (the reference DataLoader(workers=8) "
+                        "role), 'python' = WindowedDataset. All three are "
+                        "bit-identical (tests/test_device_dataset.py)")
     return p.parse_args(argv)

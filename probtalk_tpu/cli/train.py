@@ -63,8 +63,22 @@ def main(argv=None):
     # producer thread overlaps batch assembly with the device step — on the
     # 1-core host, python window gathering dominates a ~10 ms device step.
     packed = None
+    dds = None
     uses_text = m.get("p_text") is not None
-    if args.loader == "native" and not uses_text:   # text_feat rides python
+    if args.loader == "device" and not uses_text:
+        # HBM-resident corpus: per-step H2D shrinks from the full batch
+        # tensors to two (B,) int32 index vectors (data/device_dataset.py)
+        try:
+            from probtalk_tpu.data.device_dataset import DeviceWindowedDataset
+
+            dds = DeviceWindowedDataset(clips, mean, std, window=window,
+                                        stride=6)
+        except Exception as e:
+            import logging
+
+            logging.warning("device dataset unavailable (%s); falling back "
+                            "to the native loader", e)
+    if args.loader in ("native", "device") and dds is None and not uses_text:
         try:
             from probtalk_tpu.data import native_loader as nl
 
@@ -83,7 +97,9 @@ def main(argv=None):
             packed = None
 
     def batch_factory(epoch):
-        if packed is not None:
+        if dds is not None:
+            yield from dds.fbhe_batches(bs, seed=epoch, drop_remainder=True)
+        elif packed is not None:
             from probtalk_tpu.data.native_loader import NativeLoader
 
             yield from NativeLoader(packed, window=window, stride=6,

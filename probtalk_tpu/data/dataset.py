@@ -102,6 +102,34 @@ class WindowedDataset:
                 k: np.stack([it[k] for it in items]) for k in items[0]
             }
 
+    def index_batches(self, batch_size: int, *, shuffle: bool = True,
+                      seed: int = 0, drop_remainder: bool = True
+                      ) -> Iterator[tuple]:
+        """Yield ``(clip_ids, starts)`` int32 pairs — the window coordinates
+        ``batches`` would materialize, with bit-identical rng consumption
+        (same shuffle draw, same per-item jitter draws). Feed to
+        ``DeviceWindowedDataset.gather`` so only ~8 bytes/sample cross the
+        host->device tunnel instead of the full window tensors."""
+        rng = np.random.default_rng(seed)
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        n = len(order)
+        end = n - n % batch_size if drop_remainder else n
+        for i in range(0, end, batch_size):
+            cids, starts = [], []
+            for j in order[i: i + batch_size]:
+                ci, start = self._index[int(j)]
+                t = self.clips[ci].poses.shape[0]
+                if self.jitter and shuffle and t > self.window:
+                    max_start = t - self.window
+                    lo = max(start - self.stride + 1, 0)
+                    hi = min(start + self.stride, max_start + 1)
+                    start = int(rng.integers(lo, hi))
+                cids.append(ci)
+                starts.append(start)
+            yield (np.asarray(cids, np.int32), np.asarray(starts, np.int32))
+
     def fbhe_batches(self, batch_size: int, convert_to_6d: bool = True, **kw):
         """Batches with poses pre-composed to the 376-d fbhe layout
         (jaw | c_index body+hand | expression) — the per-batch composition

@@ -108,10 +108,43 @@ def main():
     ds = WindowedDataset(clips, window=WINDOW, stride=6, mean=mean, std=std)
     log(f"{len(clips)} clips, {len(ds)} windows")
 
+    # Batch producer ladder (all three are bit-identical,
+    # tests/test_device_dataset.py + test_native_loader.py):
+    #   1. device-resident corpus (HBM gather, ~64 B/step over the tunnel —
+    #      the ~2.5 MB/step H2D transfer is what dominates a 50k-step run)
+    #   2. C++ native producer (VERDICT item 5; 3x the python gather)
+    #   3. python WindowedDataset
+    producer = "python"
+    try:
+        from probtalk_tpu.data.device_dataset import DeviceWindowedDataset
+
+        dds = DeviceWindowedDataset(clips, mean, std, window=WINDOW, stride=6)
+        producer = "device"
+    except Exception as e:
+        log(f"device dataset unavailable ({e})")
+        packed = os.path.join(DIR, "packed_fbhe.ptlk")
+        try:
+            from probtalk_tpu.data.native_loader import (NativeLoader,
+                                                         pack_dataset)
+
+            if not os.path.exists(packed):
+                pack_dataset(packed, clips, mean, std)
+            assert NativeLoader(packed, window=WINDOW, stride=6,
+                                batch=BS).num_batches() > 0
+            producer = "native"
+        except Exception as e2:
+            log(f"native loader unavailable ({e2}); python batches")
+    log(f"batch producer: {producer}")
+
     def batches(seed):
         while True:
-            for b in ds.fbhe_batches(BS, seed=seed):
-                yield b
+            if producer == "device":
+                yield from dds.fbhe_batches(BS, seed=seed)
+            elif producer == "native":
+                yield from NativeLoader(packed, window=WINDOW, stride=6,
+                                        batch=BS, seed=seed)
+            else:
+                yield from ds.fbhe_batches(BS, seed=seed)
             seed += 1
 
     from probtalk_tpu.models.vqvae import VQVAE

@@ -56,12 +56,22 @@ VARIANT = os.environ.get("PARITY_VARIANT", "exact")
 JAX_SEED = int(os.environ.get("PARITY_JAX_SEED", 0))
 TORCH_TAG = os.environ.get("PARITY_TORCH_TAG", "")
 
-# (context_mask_mode, train_mask_mode, grad_clip)
+# (context_mask_mode, train_mask_mode, grad_clip, optimizer)
+# optimizer: 'adam' = optax.adam(1e-4) (round-2 config, b2=0.999, no decay);
+# 'adamw_ref' = the reference's ACTUAL optimizer — torch.optim.AdamW(lr,
+# betas=[0.9, 0.99]) with its default weight_decay=0.01
+# (predictor.py:112-118, refiner.py:122-129). The r3 ablation found the
+# curricula deviations are not the bh-gap cause; the optimizer was the
+# remaining systematic difference.
 VARIANTS = {
-    "legacy": ("bernoulli", "bernoulli", None),
-    "ctx":    ("bank",      "bernoulli", None),
-    "topk":   ("bernoulli", "topk",      None),
-    "exact":  ("bank",      "topk",      5.0),
+    "legacy": ("bernoulli", "bernoulli", None, "adam"),
+    "ctx":    ("bank",      "bernoulli", None, "adam"),
+    "topk":   ("bernoulli", "topk",      None, "adam"),
+    "exact":  ("bank",      "topk",      5.0,  "adam"),
+    # fully-faithful arm: curricula AND optimizer match the running torch
+    "faith":  ("bank",      "topk",      5.0,  "adamw_ref"),
+    # optimizer isolated on the best-scoring curricula config
+    "opt":    ("bernoulli", "bernoulli", 5.0,  "adamw_ref"),
 }
 
 
@@ -322,15 +332,18 @@ def train_and_gen_jax():
         log("jax vq restored")
     vq_vars = {"params": vq_state.params, **vq_state.mutables}
 
-    ctx_mode, tok_mode, clip_norm = VARIANTS[VARIANT]
+    ctx_mode, tok_mode, clip_norm, opt = VARIANTS[VARIANT]
     vdir = os.path.join(DIR, f"{VARIANT}_s{JAX_SEED}")
     os.makedirs(vdir, exist_ok=True)
     koff = 100 * JAX_SEED
-    tx = optax.adam(1e-4)
+    if opt == "adamw_ref":
+        tx = optax.adamw(1e-4, b1=0.9, b2=0.99, weight_decay=0.01)
+    else:
+        tx = optax.adam(1e-4)
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     log(f"jax variant={VARIANT} seed={JAX_SEED}: ctx={ctx_mode} "
-        f"tok={tok_mode} clip={clip_norm}")
+        f"tok={tok_mode} clip={clip_norm} opt={opt}")
 
     pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD,
                           train_mask_mode=tok_mode)
