@@ -39,8 +39,10 @@ def main():
 
     # B=16 = the reference eval harness's diversity-sample batch
     # (scripts/test_holisticbody.py B=16); per-sample latency is ~the same
-    # as B=1 (dispatch-bound, see PERFORMANCE.md)
-    cm, ca, t, b = 376, 768, 180, 16
+    # as B=1 (dispatch-bound, see PERFORMANCE.md). BENCH_B sweeps the
+    # serving batch (throughput amortizes the fixed dispatch cost).
+    cm, ca, t = 376, 768, 180
+    b = int(os.environ.get("BENCH_B", 16))
     sr = 16000
     wav_len = t * sr // 30                      # 6 s of 16 kHz audio
 
@@ -56,8 +58,12 @@ def main():
     vq_vars = jax.jit(lambda r, x: vq.init(r, x, train=True))(
         {"params": jax.random.key(0), "quant": jax.random.key(1)}, x)
 
+    # BENCH_BF16: bf16 compute for the transformer stacks (norms stay f32
+    # inside the modules; the MXU is bf16-native)
+    sdt = jnp.bfloat16 if os.environ.get("BENCH_BF16") else None
     pred_stage = PredictorStage(mot_dim=cm, num_code=128, groups=4,
-                                dec_layers=6, aud_dim=ca, maskgit_T=8)
+                                dec_layers=6, aud_dim=ca, maskgit_T=8,
+                                dtype=sdt)
     mask = jnp.zeros((b, t, 1), jnp.float32)
 
     def down3(n):  # three stride-2 convs (k4, pad 1): n -> (n-2)//2 + 1
@@ -73,7 +79,7 @@ def main():
         init_kwargs={"train": False},
     )
 
-    ref_stage = RefinerStage(in_dim=cm, aud_dim=ca, layers=6)
+    ref_stage = RefinerStage(in_dim=cm, aud_dim=ca, layers=6, dtype=sdt)
     ref_state = create_train_state(ref_stage, (x, aud, mask, spk),
                                    jax.random.key(3), adamw(1e-4),
                                    init_kwargs={"train": False})
