@@ -70,14 +70,56 @@ def torch_conv_reinit(params, key):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def torch_full_reinit(params, key):
+    """torch_conv_reinit plus the remaining torch-default inits the conv
+    rule does not cover — for init-parity ablations of the transformer
+    stages (the reference's predictor/refiner are plain torch modules):
+
+    * ``Embed`` tables (leaf name ``embedding``) -> N(0, 1), torch
+      ``nn.Embedding.reset_parameters`` (``PTransformer.py:420-441``
+      tok_emb/class_embed start at unit variance; flax's default is
+      ~N(0, 1/sqrt(V)) — a ~10x scale difference on the token pathway).
+    * conv/dense ``bias`` leaves -> U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+      with fan_in taken from the sibling ``kernel`` (torch Linear/ConvNd
+      default; flax uses zeros). Attention biases stay zero — torch MHA
+      ``_reset_parameters`` zeroes in_proj_bias and out_proj.bias.
+    """
+    params = torch_conv_reinit(params, key)
+    key = jax.random.fold_in(key, 17)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    kernels = {tuple(str(getattr(p, "key", "")) for p in path[:-1]): leaf
+               for path, leaf in flat
+               if str(getattr(path[-1], "key", "")) == "kernel"}
+    out = []
+    for path, leaf in flat:
+        names = [str(getattr(p, "key", "")) for p in path]
+        in_attn = any("attn" in n for n in names)
+        key, k = jax.random.split(key)
+        if names[-1] == "embedding" and leaf.ndim == 2:
+            out.append(jax.random.normal(k, leaf.shape, leaf.dtype))
+        elif (names[-1] == "bias" and not in_attn
+              and tuple(names[:-1]) in kernels):
+            kshape = kernels[tuple(names[:-1])].shape
+            fan_in = 1
+            for d in kshape[:-1]:
+                fan_in *= d
+            b = (1.0 / fan_in) ** 0.5
+            out.append(jax.random.uniform(k, leaf.shape, leaf.dtype, -b, b))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def create_train_state(model, sample_batch_args: tuple, rng,
                        tx: optax.GradientTransformation,
                        init_kwargs: dict | None = None,
-                       torch_init: bool = True) -> TrainState:
+                       torch_init: bool | str = True) -> TrainState:
     """Initialize model variables and wrap them in a TrainState.
 
-    torch_init: reinitialize conv/dense kernels kaiming-uniform (see
-    torch_conv_reinit) — the measured-better default."""
+    torch_init: True/'conv' reinitializes conv/dense kernels
+    kaiming-uniform (see torch_conv_reinit) — the measured-better
+    default; 'full' additionally matches torch's embedding/bias defaults
+    (torch_full_reinit, init-parity ablations)."""
     rngs = {"params": rng, "quant": jax.random.fold_in(rng, 1),
             "dropout": jax.random.fold_in(rng, 2)}
     # Init under jit: eager flax init dispatches thousands of individual
@@ -88,7 +130,8 @@ def create_train_state(model, sample_batch_args: tuple, rng,
     variables = dict(init_fn(rngs, sample_batch_args))
     params = variables.pop("params")
     if torch_init:
-        params = jax.jit(torch_conv_reinit)(params, jax.random.fold_in(rng, 3))
+        reinit = torch_full_reinit if torch_init == "full" else torch_conv_reinit
+        params = jax.jit(reinit)(params, jax.random.fold_in(rng, 3))
     mutables = dict(variables)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

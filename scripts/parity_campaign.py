@@ -29,6 +29,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# Torch-side runs must never grab the TPU: the CPU queue exports
+# PROBTALK_FORCE_CPU=1 (the JAX_PLATFORMS env var alone is overridden by
+# the axon site hook — CLAUDE.md).
+if os.environ.get("PROBTALK_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
 CKPT = os.path.join(REPO, "experiments", "parity")
 OUT_JSON = os.path.join(REPO, "PARITY_CAMPAIGN.json")

@@ -44,6 +44,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# Torch-side runs must never grab the TPU: the CPU queue exports
+# PROBTALK_FORCE_CPU=1 (the JAX_PLATFORMS env var alone is overridden by
+# the axon site hook — CLAUDE.md).
+if os.environ.get("PROBTALK_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
 DIR = os.path.join(REPO, "experiments", "parity_full")
 VQ_TORCH = os.path.join(REPO, "experiments", "parity", "torch_vq_1500.pth")
@@ -56,22 +64,30 @@ VARIANT = os.environ.get("PARITY_VARIANT", "exact")
 JAX_SEED = int(os.environ.get("PARITY_JAX_SEED", 0))
 TORCH_TAG = os.environ.get("PARITY_TORCH_TAG", "")
 
-# (context_mask_mode, train_mask_mode, grad_clip, optimizer)
+# (context_mask_mode, train_mask_mode, grad_clip, optimizer, init)
 # optimizer: 'adam' = optax.adam(1e-4) (round-2 config, b2=0.999, no decay);
 # 'adamw_ref' = the reference's ACTUAL optimizer — torch.optim.AdamW(lr,
 # betas=[0.9, 0.99]) with its default weight_decay=0.01
 # (predictor.py:112-118, refiner.py:122-129). The r3 ablation found the
-# curricula deviations are not the bh-gap cause; the optimizer was the
-# remaining systematic difference.
+# curricula deviations are not the bh-gap cause; the optimizer and the
+# init are the remaining systematic differences.
+# init: 'conv' = round-2 default (torch kaiming-uniform conv/dense kernels
+# only); 'full' = additionally torch-default embedding N(0,1) + bias
+# uniform (train/state.torch_full_reinit — the reference's tok_emb/
+# class_embed start at ~10x flax's default scale, PTransformer.py:420-422).
 VARIANTS = {
-    "legacy": ("bernoulli", "bernoulli", None, "adam"),
-    "ctx":    ("bank",      "bernoulli", None, "adam"),
-    "topk":   ("bernoulli", "topk",      None, "adam"),
-    "exact":  ("bank",      "topk",      5.0,  "adam"),
+    "legacy": ("bernoulli", "bernoulli", None, "adam", "conv"),
+    "ctx":    ("bank",      "bernoulli", None, "adam", "conv"),
+    "topk":   ("bernoulli", "topk",      None, "adam", "conv"),
+    "exact":  ("bank",      "topk",      5.0,  "adam", "conv"),
     # fully-faithful arm: curricula AND optimizer match the running torch
-    "faith":  ("bank",      "topk",      5.0,  "adamw_ref"),
-    # optimizer isolated on the best-scoring curricula config
-    "opt":    ("bernoulli", "bernoulli", 5.0,  "adamw_ref"),
+    "faith":  ("bank",      "topk",      5.0,  "adamw_ref", "conv"),
+    # optimizer isolated on the round-2 curricula config
+    "opt":    ("bernoulli", "bernoulli", 5.0,  "adamw_ref", "conv"),
+    # init isolated on the round-2 config
+    "init":   ("bernoulli", "bernoulli", None, "adam", "full"),
+    # everything faithful at once: curricula + optimizer + init
+    "faithinit": ("bank",   "topk",      5.0,  "adamw_ref", "full"),
 }
 
 
@@ -332,7 +348,7 @@ def train_and_gen_jax():
         log("jax vq restored")
     vq_vars = {"params": vq_state.params, **vq_state.mutables}
 
-    ctx_mode, tok_mode, clip_norm, opt = VARIANTS[VARIANT]
+    ctx_mode, tok_mode, clip_norm, opt, init_style = VARIANTS[VARIANT]
     vdir = os.path.join(DIR, f"{VARIANT}_s{JAX_SEED}")
     os.makedirs(vdir, exist_ok=True)
     koff = 100 * JAX_SEED
@@ -343,7 +359,7 @@ def train_and_gen_jax():
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     log(f"jax variant={VARIANT} seed={JAX_SEED}: ctx={ctx_mode} "
-        f"tok={tok_mode} clip={clip_norm} opt={opt}")
+        f"tok={tok_mode} clip={clip_norm} opt={opt} init={init_style}")
 
     pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD,
                           train_mask_mode=tok_mode)
@@ -353,7 +369,8 @@ def train_and_gen_jax():
     aud0 = jnp.zeros((BS, WINDOW, AUD), jnp.float32)
     pstate = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
                                 jax.random.key(2 + koff), tx,
-                                init_kwargs={"train": True})
+                                init_kwargs={"train": True},
+                                torch_init=init_style)
     # completion markers disambiguate finished runs from step-0 saves
     # (earlier script versions checkpointed completed stages with id 0)
     pdone = os.path.join(vdir, "jax_pred.done")
@@ -387,7 +404,8 @@ def train_and_gen_jax():
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
     rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
                                 jax.random.key(4 + koff), tx,
-                                init_kwargs={"train": True})
+                                init_kwargs={"train": True},
+                                torch_init=init_style)
     rdone = os.path.join(vdir, "jax_ref.done")
     rck = Checkpointer(os.path.join(vdir, "jax_ref"))
     restored, rstart = rck.restore(rstate)

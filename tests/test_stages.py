@@ -131,3 +131,63 @@ class TestRefinerStage:
         infer = make_refiner_infer_fn(stage)
         out = infer(state, gt, aud, mask, spk)
         assert out.shape == gt.shape
+
+
+class TestTorchFullReinit:
+    """torch_full_reinit matches torch's nn.Embedding/Linear defaults
+    (init-parity arm of the FGD campaign; PTransformer.py:420-441)."""
+
+    def test_embedding_bias_and_attention_rules(self):
+        from probtalk_tpu.train.state import torch_full_reinit
+
+        stage = PredictorStage(mot_dim=CM, num_code=8, groups=4, aud_dim=CA,
+                               dec_layers=1)
+        x = jnp.zeros((B, T, CM), jnp.float32)
+        codes = jnp.zeros((B, T // 8, 4), jnp.int32)
+        mask = jnp.zeros((B, T, 1), jnp.float32)
+        spk = jnp.zeros((B,), jnp.int32)
+        aud = jnp.zeros((B, T, CA), jnp.float32)
+        variables = stage.init(
+            {"params": jax.random.key(0), "quant": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            x, codes, mask, spk, aud, train=True)
+        params = variables["params"]
+        new = torch_full_reinit(params, jax.random.key(9))
+
+        flat = dict(jax.tree_util.tree_flatten_with_path(new)[0])
+        old = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+
+        def by_suffix(d, *names):
+            return {p: v for p, v in d.items()
+                    if [str(getattr(k, "key", "")) for k in p][-len(names):]
+                    == list(names)}
+
+        # Embed tables resampled to unit variance (torch nn.Embedding)
+        embs = {p: v for p, v in by_suffix(flat, "embedding").items()}
+        assert embs
+        for p, v in embs.items():
+            assert 0.8 < float(jnp.std(v)) < 1.2, (p, float(jnp.std(v)))
+
+        # non-attention biases with a sibling kernel: uniform in
+        # (-1/sqrt(fan_in), 1/sqrt(fan_in)), not all zero
+        touched = 0
+        for p, v in by_suffix(flat, "bias").items():
+            names = [str(getattr(k, "key", "")) for k in p]
+            if any("attn" in n for n in names):
+                # torch MHA zeroes in_proj/out_proj biases — must stay zero
+                assert float(jnp.abs(v).max()) == 0.0, p
+                continue
+            kp = p[:-1] + (jax.tree_util.DictKey("kernel"),)
+            if kp in flat and v.size > 4:
+                fan_in = int(np.prod(flat[kp].shape[:-1]))
+                bound = (1.0 / fan_in) ** 0.5
+                assert float(jnp.abs(v).max()) <= bound + 1e-6, p
+                assert float(jnp.abs(v).max()) > 0.0, p
+                touched += 1
+        assert touched >= 3
+
+        # attention kernels untouched (xavier~lecun variance already match)
+        for p, v in flat.items():
+            names = [str(getattr(k, "key", "")) for k in p]
+            if any("attn" in n for n in names) and names[-1] == "kernel":
+                assert jnp.array_equal(v, old[p]), p
