@@ -26,6 +26,14 @@ deviations behind the per-part FGD gap):
               at least as tight) + exact epoch mapping
   PARITY_JAX_SEED  integer seed offset (default 0) for noise-band runs
   PARITY_TORCH_TAG artifact suffix + seed offset for a 2nd torch run
+  PARITY_VQ_SRC    jax (default) | torch — 'torch' trains the jax
+      predictor/refiner against the CONVERTED torch VQ
+      (convert/torch_checkpoint.convert_vqvae of torch_vq_1500.pth), so
+      BOTH systems predict the IDENTICAL code targets and decode through
+      the IDENTICAL codebooks/decoder weights. Removes the VQ
+      target-distribution confound (scripts/code_entropy_audit.py): each
+      side otherwise learns its own VQ's codes, whose entropy differs.
+      Arm name gets a '-tvq' suffix.
 Artifacts: jax stages under experiments/parity_full/<variant>_s<seed>/;
 score() aggregates every variant it finds into PARITY_FGD.json.
 """
@@ -63,6 +71,7 @@ B_GEN = 8          # diversity samples at generation
 VARIANT = os.environ.get("PARITY_VARIANT", "exact")
 JAX_SEED = int(os.environ.get("PARITY_JAX_SEED", 0))
 TORCH_TAG = os.environ.get("PARITY_TORCH_TAG", "")
+VQ_SRC = os.environ.get("PARITY_VQ_SRC", "jax")
 
 # (context_mask_mode, train_mask_mode, grad_clip, optimizer, init)
 # optimizer: 'adam' = optax.adam(1e-4) (round-2 config, b2=0.999, no decay);
@@ -325,31 +334,44 @@ def train_and_gen_jax():
                hiddens=1024, res_layers=2)
     x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
     x0_vq = jnp.zeros((BS, 176, 376), jnp.float32)
-    vq_state = create_train_state(vq, (x0_vq,), jax.random.key(0),
-                                  optax.adam(1e-4),
-                                  init_kwargs={"train": True})
-    vq_ck = Checkpointer(os.path.join(DIR, "jax_vq"))
-    restored, _ = vq_ck.restore(vq_state)
-    if restored is None:
-        stream = batch_stream(ds, 1500, seed0=0)
-        from probtalk_tpu.train.steps import make_vq_train_step
+    if VQ_SRC == "torch":
+        # the CONVERTED torch VQ: both systems now share code targets,
+        # codebooks, and the decode path bit-for-bit (golden converter,
+        # tests/test_torch_parity.py) — isolates predictor/refiner
+        # training dynamics from the VQ stage.
+        import torch
 
-        step = make_vq_train_step(vq, donate=False)
-        key = jax.random.key(1)
-        for i, b in enumerate(stream):
-            key, k = jax.random.split(key)
-            vq_state, m = step(vq_state,
-                               {"poses_fbhe": jnp.asarray(fbhe(b)[:, :176])},
-                               k)
-        vq_ck.save(0, vq_state, wait=True)
-        log("jax vq trained (1500 steps, parity batches)")
+        from probtalk_tpu.convert.torch_checkpoint import convert_vqvae
+
+        saved = torch.load(VQ_TORCH, map_location="cpu", weights_only=False)
+        vq_vars = jax.tree.map(jnp.asarray, convert_vqvae(saved["state"]["VQ"]))
+        log("torch vq converted -> jax (shared code targets)")
     else:
-        vq_state = restored
-        log("jax vq restored")
-    vq_vars = {"params": vq_state.params, **vq_state.mutables}
+        vq_state = create_train_state(vq, (x0_vq,), jax.random.key(0),
+                                      optax.adam(1e-4),
+                                      init_kwargs={"train": True})
+        vq_ck = Checkpointer(os.path.join(DIR, "jax_vq"))
+        restored, _ = vq_ck.restore(vq_state)
+        if restored is None:
+            stream = batch_stream(ds, 1500, seed0=0)
+            from probtalk_tpu.train.steps import make_vq_train_step
+
+            step = make_vq_train_step(vq, donate=False)
+            key = jax.random.key(1)
+            for i, b in enumerate(stream):
+                key, k = jax.random.split(key)
+                vq_state, m = step(
+                    vq_state, {"poses_fbhe": jnp.asarray(fbhe(b)[:, :176])}, k)
+            vq_ck.save(0, vq_state, wait=True)
+            log("jax vq trained (1500 steps, parity batches)")
+        else:
+            vq_state = restored
+            log("jax vq restored")
+        vq_vars = {"params": vq_state.params, **vq_state.mutables}
 
     ctx_mode, tok_mode, clip_norm, opt, init_style = VARIANTS[VARIANT]
-    vdir = os.path.join(DIR, f"{VARIANT}_s{JAX_SEED}")
+    vname = VARIANT + ("-tvq" if VQ_SRC == "torch" else "")
+    vdir = os.path.join(DIR, f"{vname}_s{JAX_SEED}")
     os.makedirs(vdir, exist_ok=True)
     koff = 100 * JAX_SEED
     if opt == "adamw_ref":
@@ -452,7 +474,7 @@ def train_and_gen_jax():
         gen_seconds += time.perf_counter() - t0
         outs[clip.name] = np.asarray(out)
         log(f"jax gen {clip.name}: {outs[clip.name].shape}")
-    np.savez(os.path.join(DIR, f"gen_jax_{VARIANT}_s{JAX_SEED}.npz"),
+    np.savez(os.path.join(DIR, f"gen_jax_{vname}_s{JAX_SEED}.npz"),
              gen_seconds=gen_seconds, **outs)
     log(f"jax generation total {gen_seconds:.2f}s (TPU, warm)")
 
