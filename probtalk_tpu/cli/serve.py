@@ -1,0 +1,101 @@
+"""Serving CLI: stand up the streaming motion server over trained stages.
+
+    python -m probtalk_tpu.cli.serve --config_file configs/transformer.json \
+        --model_path <vq_ckpt_dir> \
+        --body_model_path <predictor_ckpt_dir> <refiner_ckpt_dir> \
+        --port 8080 --max_batch 8
+
+Clients POST motion-fps audio-feature chunks (float32, ``X-Shape: T,Ca``)
+to ``/v1/sessions/<id>/feed`` and receive motion frames back; concurrent
+sessions are micro-batched into one compiled TPU program per window
+(see ``probtalk_tpu/serve/``). The reference has no serving entry point —
+its closest analogue is the one-shot ``scripts/demo.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_engine(config, norm_stats_path: str, vq_path=None,
+                 predictor_path=None, refiner_path=None, max_batch: int = 8,
+                 raw: bool = False, seed: int = 0):
+    """Stages via the demo's builder; returns a ready ServingEngine."""
+    from probtalk_tpu.cli.demo import build_pipeline
+    from probtalk_tpu.serve.engine import ServingEngine
+
+    pipe, mean, std = build_pipeline(
+        config, norm_stats_path, vq_path=vq_path,
+        predictor_path=predictor_path, refiner_path=refiner_path, seed=seed)
+
+    postprocess = None
+    if not raw:
+        import jax.numpy as jnp
+        from probtalk_tpu.core import body_parts, normalize
+        from probtalk_tpu.core.rotation import d6_to_aa_flat
+
+        idx = body_parts.c_index(True)
+        jaw_d = body_parts.each_dim(True)[0]
+
+        def postprocess(chunk: np.ndarray) -> np.ndarray:
+            # normalized fbhe -> denormalized axis-angle (165) + expr (100),
+            # the demo's output convention (cli/demo.py generate_motion)
+            x = normalize.denormalize(jnp.asarray(chunk)[None], mean, std,
+                                      shape="fbhe", idx=idx)[0]
+            d6 = x[..., : jaw_d + 270]
+            expr = x[..., -100:]
+            aa = d6_to_aa_flat(d6.reshape(-1, 276)).reshape(-1, 138)
+            full = body_parts.part2full(aa[None])[0]
+            return np.asarray(jnp.concatenate([full, expr], -1))
+
+    return ServingEngine(
+        pipe.vq_model, pipe.vq_variables, pipe.predictor_stage,
+        pipe.predictor_state, pipe.refiner_stage, pipe.refiner_state,
+        window=pipe.window, overlap=pipe.overlap, max_batch=max_batch,
+        postprocess=postprocess)
+
+
+def main(argv=None):
+    from probtalk_tpu.config import load_config
+    from probtalk_tpu.serve.server import MotionServer
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--model_path", default=None, help="VQ checkpoint dir")
+    p.add_argument("--body_model_path", nargs="*", default=None,
+                   help="predictor ckpt dir, refiner ckpt dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--pump_interval", type=float, default=0.01)
+    p.add_argument("--raw", action="store_true",
+                   help="emit normalized fbhe motion instead of "
+                        "axis-angle + expression")
+    args = p.parse_args(argv)
+
+    config = load_config(args.config_file)
+    norm_stats = os.environ.get(
+        "PROBTALK_NORM_STATS", "/root/reference/data_utils/norm_stats.npy")
+    body = args.body_model_path or [None, None]
+    engine = build_engine(
+        config, norm_stats, vq_path=args.model_path, predictor_path=body[0],
+        refiner_path=body[1] if len(body) > 1 else None,
+        max_batch=args.max_batch, raw=args.raw)
+    server = MotionServer(engine, host=args.host, port=args.port,
+                          pump_interval=args.pump_interval).start()
+    print(f"serving on http://{args.host}:{server.port} "
+          f"(window={engine.window}, max_batch={engine.max_batch})")
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

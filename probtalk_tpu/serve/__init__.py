@@ -1,0 +1,7 @@
+"""Production serving: session-based streaming audio->motion with
+cross-session micro-batching (the deployment story the reference's
+`scripts/demo.py` one-shot path stops short of)."""
+
+from probtalk_tpu.serve.engine import ServingEngine, SessionClosed
+
+__all__ = ["ServingEngine", "SessionClosed"]

@@ -1,0 +1,294 @@
+"""Session-based streaming serving engine with cross-session micro-batching.
+
+The reference serves inference only as one-shot scripts over whole files
+(``scripts/demo.py:69-181``, ``scripts/test_holisticbody.py:240-261``).
+This module is the production counterpart for TPU deployment: many
+concurrent audio streams share ONE compiled window program, batched
+together whenever they have a window of features ready.
+
+TPU-first design points:
+
+- **One compiled step per batch bucket.** The window program (predictor
+  MaskGit sample -> PQ decode -> refiner) is jitted once per power-of-two
+  batch size; sessions are padded into the nearest bucket, so arbitrary
+  concurrency never triggers a recompile.
+- **Per-sample RNG via vmap.** The step is ``jax.vmap`` of a batch-1
+  window with its own PRNG key per lane. JAX's counter-based PRNG makes a
+  vmapped draw bitwise-equal to the same draw made alone, so within a
+  bucket size a session's output is bitwise-independent of which other
+  sessions (or pad rows) were batched with it — each session is exactly
+  reproducible from its seed, and follows the offline
+  ``streaming.make_streaming_generate`` schedule (same window grid, same
+  key-split pattern). Across DIFFERENT bucket sizes the XLA programs
+  differ, so on TPU outputs agree only to bf16 matmul tolerance
+  (measured 5e-3 max abs on real-size stages; exact in f32 on CPU).
+- **Static shapes everywhere.** Feature windows are fixed ``window``
+  frames; flush pads the tail edge-mode exactly like
+  ``streaming.pad_to_windows`` and truncates the emitted frames.
+
+Concurrency model: ``feed``/``poll``/``flush`` are thread-safe. ``feed``
+by default runs the batching pump inline (single-tenant, lowest latency);
+a server passes ``pump=False`` and drives ``pump_all()`` from one pump
+thread so concurrent sessions land in the same device batch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from probtalk_tpu.utils.interp import resize_time
+
+
+class SessionClosed(KeyError):
+    """Raised when feeding/flushing an unknown or already-flushed session."""
+
+
+@dataclass
+class _Session:
+    speaker: int
+    key: jax.Array
+    feats: List[np.ndarray] = field(default_factory=list)
+    n_feat: int = 0                          # true (unpadded) feature frames
+    windows_done: int = 0
+    ctx_tail: Optional[np.ndarray] = None    # (overlap, C) trailing context
+    emitted: int = 0                         # frames produced so far
+    pending: List[np.ndarray] = field(default_factory=list)
+    new_frames: threading.Event = field(default_factory=threading.Event)
+    closed: bool = False
+
+    def buffered(self) -> np.ndarray:
+        if len(self.feats) > 1:
+            self.feats = [np.concatenate(self.feats, axis=0)]
+        return self.feats[0] if self.feats else np.zeros((0, 0), np.float32)
+
+
+class ServingEngine:
+    """Micro-batching streaming engine over the three frozen stages.
+
+    Constructor parameters mirror ``streaming.make_streaming_generate``;
+    inputs are motion-fps audio features (T, aud_dim) fed incrementally per
+    session. ``postprocess`` (optional) maps each emitted (T, C)
+    normalized-fbhe chunk before it is returned (e.g. denormalize +
+    part2full).
+    """
+
+    def __init__(self, vq_model, vq_variables, pred_stage, pred_state,
+                 ref_stage, ref_state, window: int = 180, overlap: int = 30,
+                 max_batch: int = 8,
+                 postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None):
+        self.window = window
+        self.overlap = overlap
+        self.step = window - overlap
+        self.max_batch = max_batch
+        self.postprocess = postprocess
+        self.mot_dim = pred_stage.mot_dim
+        self._variables = (
+            {"params": pred_state.params, **pred_state.mutables},
+            {"params": ref_state.params, **ref_state.mutables},
+            vq_variables,
+        )
+        self._step_fn = self._build_step(vq_model, pred_stage, ref_stage)
+        self._sessions: Dict[str, _Session] = {}
+        self._ids = itertools.count()
+        self._lock = threading.Lock()
+        self.stats = {"windows": 0, "batches": 0, "pad_rows": 0}
+
+    # ------------------------------------------------------------------
+    def _build_step(self, vq_model, pred_stage, ref_stage):
+        window = self.window
+
+        def one(variables, key, aud_w, ctx, mask, speaker):
+            # batch-1 window; vmapped below so every lane owns its key
+            pred_vars, ref_vars, vq_vars = variables
+            aud_w, ctx, mask = aud_w[None], ctx[None], mask[None]
+            speaker = speaker[None]
+            masked = ctx * mask
+            codes = pred_stage.apply(pred_vars, key, masked, mask, speaker,
+                                     aud_w, method=pred_stage.sample)
+            prelim = vq_model.apply(vq_vars, codes, train=False,
+                                    method=vq_model.decode_codes)
+            prelim = resize_time(prelim, window)
+            blended = masked * mask + prelim * (1.0 - mask)
+            refined = ref_stage.apply(ref_vars, blended, aud_w, mask, speaker,
+                                      train=False)
+            return (ctx * mask + refined * (1.0 - mask))[0]
+
+        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
+
+    # ------------------------------------------------------------------
+    # session API (thread-safe)
+    # ------------------------------------------------------------------
+    def create_session(self, speaker: int = 0, seed: int = 0) -> str:
+        with self._lock:
+            sid = f"s{next(self._ids)}"
+            self._sessions[sid] = _Session(
+                speaker=int(speaker), key=jax.random.key(seed))
+            return sid
+
+    def feed(self, sid: str, feats: np.ndarray, pump: bool = True) -> np.ndarray:
+        """Append (T, aud_dim) features. With ``pump=True`` (default) runs
+        the batching pump inline and returns any newly ready motion frames
+        as (T_ready, C); with ``pump=False`` returns an empty chunk and
+        leaves the work for ``pump_all()`` + ``poll()``."""
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"feats must be (T, aud_dim), got {feats.shape}")
+        with self._lock:
+            s = self._get(sid)
+            s.feats.append(feats)
+            s.n_feat += feats.shape[0]
+            if pump:
+                self._pump()
+                return self._pop(s)
+        return np.zeros((0, self.mot_dim), np.float32)
+
+    def poll(self, sid: str, timeout: Optional[float] = None) -> np.ndarray:
+        """Pop frames made ready by a ``pump_all()`` since the last poll.
+        With a timeout, blocks until new frames (or the timeout) arrive."""
+        with self._lock:
+            s = self._get(sid)
+            if s.pending:
+                return self._pop(s)
+            ev = s.new_frames
+        if timeout:
+            ev.wait(timeout)
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                raise SessionClosed(sid)
+            return self._pop(s)
+
+    def pump_all(self) -> int:
+        """Run the micro-batching pump over every ready session (the server
+        pump thread's entry point). Returns the number of windows run."""
+        with self._lock:
+            before = self.stats["windows"]
+            self._pump()
+            return self.stats["windows"] - before
+
+    def flush(self, sid: str) -> np.ndarray:
+        """End of stream: run the final (edge-padded) windows, truncate to
+        the true feature length, close the session, and return every frame
+        not yet delivered to the client."""
+        with self._lock:
+            s = self._get(sid)
+            delivered = s.emitted - sum(c.shape[0] for c in s.pending)
+            self._pump()
+            while s.n_feat > s.emitted:
+                buf = s.buffered()
+                if buf.shape[0] == 0:
+                    break
+                need = self._window_start(s.windows_done) + self.window
+                if buf.shape[0] < need:
+                    pad = np.repeat(buf[-1:], need - buf.shape[0], axis=0)
+                    s.feats = [np.concatenate([buf, pad], axis=0)]
+                ran = self.stats["windows"]
+                self._pump()
+                if self.stats["windows"] == ran:
+                    break
+            chunks, total = s.pending, s.n_feat
+            s.closed = True
+            s.new_frames.set()
+            del self._sessions[sid]
+        if not chunks:
+            return np.zeros((0, self.mot_dim), np.float32)
+        out = np.concatenate(chunks, axis=0)
+        # drop edge-pad frames past the true feature count
+        return self._post(out[: max(total - delivered, 0)])
+
+    def active_sessions(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+    # ------------------------------------------------------------------
+    # internals (caller holds the lock)
+    # ------------------------------------------------------------------
+    def _get(self, sid: str) -> _Session:
+        s = self._sessions.get(sid)
+        if s is None or s.closed:
+            raise SessionClosed(sid)
+        return s
+
+    def _pop(self, s: _Session) -> np.ndarray:
+        if not s.pending:
+            s.new_frames.clear()
+            return np.zeros((0, self.mot_dim), np.float32)
+        out = np.concatenate(s.pending, axis=0)
+        s.pending = []
+        s.new_frames.clear()
+        return self._post(out)
+
+    def _window_start(self, w_idx: int) -> int:
+        # window w covers feature frames [step*w, step*w + window)
+        return self.step * w_idx
+
+    def _ready(self, s: _Session) -> bool:
+        return (not s.closed and
+                s.buffered().shape[0]
+                >= self._window_start(s.windows_done) + self.window)
+
+    def _pump(self):
+        """Batch every ready session's next window until none is ready."""
+        while True:
+            ready = [sid for sid, s in self._sessions.items() if self._ready(s)]
+            if not ready:
+                return
+            for i in range(0, len(ready), self.max_batch):
+                self._run_group(ready[i:i + self.max_batch])
+
+    def _run_group(self, sids: List[str]):
+        w, ov, c = self.window, self.overlap, self.mot_dim
+        n = len(sids)
+        bucket = _bucket(n, self.max_batch)
+        first = self._sessions[sids[0]].buffered()
+        aud = np.zeros((bucket, w, first.shape[-1]), np.float32)
+        ctxs = np.zeros((bucket, w, c), np.float32)
+        masks = np.zeros((bucket, w, 1), np.float32)
+        spk = np.zeros((bucket,), np.int32)
+        keys = []
+        for i, sid in enumerate(sids):
+            s = self._sessions[sid]
+            start = self._window_start(s.windows_done)
+            aud[i] = s.buffered()[start:start + w]
+            if s.windows_done > 0:
+                ctxs[i, :ov] = s.ctx_tail
+                masks[i, :ov] = 1.0
+            spk[i] = s.speaker
+            # the offline schedule's split pattern: carry the first output,
+            # consume the second (streaming.py:55,69)
+            s.key, k = jax.random.split(s.key)
+            keys.append(k)
+        for _ in range(bucket - n):      # pad rows: any key, output discarded
+            keys.append(keys[-1])
+        refined = np.asarray(self._step_fn(
+            self._variables, jnp.stack(keys), jnp.asarray(aud),
+            jnp.asarray(ctxs), jnp.asarray(masks), jnp.asarray(spk)))
+        self.stats["windows"] += n
+        self.stats["batches"] += 1
+        self.stats["pad_rows"] += bucket - n
+        for i, sid in enumerate(sids):
+            s = self._sessions[sid]
+            full = refined[i]
+            new = full if s.windows_done == 0 else full[ov:]
+            s.ctx_tail = full[-ov:].copy()
+            s.windows_done += 1
+            s.emitted += new.shape[0]
+            s.pending.append(new)
+            s.new_frames.set()
+
+    def _post(self, x: np.ndarray) -> np.ndarray:
+        return self.postprocess(x) if self.postprocess is not None else x
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)

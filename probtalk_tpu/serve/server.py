@@ -1,0 +1,135 @@
+"""Minimal production HTTP front-end over :class:`ServingEngine`.
+
+Stdlib-only (``http.server``): POST audio-feature chunks per session, a
+single pump thread micro-batches every ready session into one device call
+(the engine's bucketed compiled step). Binary payloads are raw
+little-endian float32; shapes ride in headers — no JSON tensor encoding
+on the hot path.
+
+API:
+  POST /v1/sessions                 {"speaker": int, "seed": int} -> {"id": sid}
+  POST /v1/sessions/<id>/feed       body = float32 (T, aud_dim) raw bytes,
+                                    header X-Shape: "T,aud_dim"
+                                    -> float32 (T_ready, C) + X-Shape header
+  POST /v1/sessions/<id>/flush      -> remaining float32 frames + X-Shape
+  GET  /healthz                     -> {"ok": true, "sessions": n}
+
+The reference has no serving layer at all (its closest analogue is the
+one-shot ``scripts/demo.py``); this subsystem is TPU-deployment-specific.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from probtalk_tpu.serve.engine import ServingEngine, SessionClosed
+
+
+class MotionServer:
+    """Owns the engine, the HTTP server, and the pump thread."""
+
+    def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
+                 port: int = 0, pump_interval: float = 0.01):
+        self.engine = engine
+        self.pump_interval = pump_interval
+        self._stop = threading.Event()
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._threads = []
+
+    def start(self):
+        t1 = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t2 = threading.Thread(target=self._pump_loop, daemon=True)
+        t1.start()
+        t2.start()
+        self._threads = [t1, t2]
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    def _pump_loop(self):
+        while not self._stop.wait(self.pump_interval):
+            self.engine.pump_all()
+
+
+def _make_handler(server: MotionServer):
+    engine = server.engine
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):   # quiet
+            pass
+
+        # ---- helpers -------------------------------------------------
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _frames(self, arr: np.ndarray):
+            body = np.ascontiguousarray(arr, np.float32).tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Shape", ",".join(map(str, arr.shape)))
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        # ---- routes --------------------------------------------------
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "sessions": engine.active_sessions(),
+                                 "stats": engine.stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                parts = [p for p in self.path.split("/") if p]
+                if parts == ["v1", "sessions"]:
+                    opts = json.loads(self._read_body() or b"{}")
+                    sid = engine.create_session(
+                        speaker=int(opts.get("speaker", 0)),
+                        seed=int(opts.get("seed", 0)))
+                    return self._json(200, {"id": sid})
+                if (len(parts) == 4 and parts[:2] == ["v1", "sessions"]
+                        and parts[3] in ("feed", "flush")):
+                    sid = parts[2]
+                    if parts[3] == "feed":
+                        shape = tuple(
+                            int(x) for x in
+                            self.headers.get("X-Shape", "").split(","))
+                        feats = np.frombuffer(
+                            self._read_body(), np.float32).reshape(shape)
+                        engine.feed(sid, feats, pump=False)
+                        # wait one pump round so a lone client still gets
+                        # its frames on the feed response
+                        out = engine.poll(
+                            sid, timeout=4 * server.pump_interval)
+                        return self._frames(out)
+                    out = engine.flush(sid)
+                    return self._frames(out)
+                return self._json(404, {"error": "not found"})
+            except SessionClosed as e:
+                return self._json(410, {"error": f"session gone: {e}"})
+            except Exception as e:       # surface to the client, keep serving
+                return self._json(400, {"error": repr(e)})
+
+    return Handler

@@ -20,6 +20,10 @@ import jax  # noqa: E402
 # config update (pre backend-init) reliably forces the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: identical HLO (e.g. the serving engine's window
+# step across engine instances) compiles once per box, not once per test
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -35,7 +39,7 @@ _SLOW_MODULES = {
     "test_torch_parity_transformers", "test_torch_parity_wav2vec2",
     "test_torch_parity_baselines", "test_cli_eval", "test_tensor_parallel",
     "test_rasterize", "test_smplx_golden", "test_pipeline_parallel",
-    "test_cli_train_families",
+    "test_cli_train_families", "test_serve",
 }
 
 

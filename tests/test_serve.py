@@ -1,0 +1,220 @@
+"""Serving engine + HTTP server tests.
+
+The key property: a served session reproduces the offline compiled
+streaming schedule (`streaming.make_streaming_generate`) exactly — same
+window grid, same key-split pattern — and its output is independent of
+which other sessions were micro-batched with it (per-sample vmapped RNG).
+"""
+
+import http.client
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probtalk_tpu.models.vqvae import VQVAE
+from probtalk_tpu.serve.engine import ServingEngine, SessionClosed
+from probtalk_tpu.serve.server import MotionServer
+from probtalk_tpu.streaming import make_streaming_generate
+from probtalk_tpu.train.stages import PredictorStage, RefinerStage
+from probtalk_tpu.train.state import create_train_state, adamw
+
+CM, CA, W, OV = 40, 24, 16, 4
+STEP = W - OV
+
+
+@pytest.fixture(scope="module")
+def stages():
+    vq = VQVAE(in_dim=CM, embedding_dim=32, num_codes=8, groups=4, hiddens=32,
+               res_layers=1)
+    x = jnp.zeros((1, W, CM), jnp.float32)
+    vq_vars = vq.init({"params": jax.random.key(0), "quant": jax.random.key(1)},
+                      x, train=True)
+    pred = PredictorStage(mot_dim=CM, num_code=8, groups=4, dec_layers=1,
+                          aud_dim=CA)
+    mask = jnp.zeros((1, W, 1), jnp.float32)
+    codes0 = jnp.zeros((1, W // 8, 4), jnp.int32)
+    spk = jnp.zeros((1,), jnp.int32)
+    aud = jnp.zeros((1, W, CA), jnp.float32)
+    pred_state = create_train_state(pred, (x, codes0, mask, spk, aud),
+                                    jax.random.key(2), adamw(1e-4),
+                                    init_kwargs={"train": True})
+    ref = RefinerStage(in_dim=CM, aud_dim=CA, layers=1)
+    ref_state = create_train_state(ref, (x, aud, mask, spk), jax.random.key(3),
+                                   adamw(1e-4), init_kwargs={"train": True})
+    return vq, vq_vars, pred, pred_state, ref, ref_state
+
+
+def make_engine(stages, **kw):
+    kw.setdefault("window", W)
+    kw.setdefault("overlap", OV)
+    return ServingEngine(*stages, **kw)
+
+
+@pytest.fixture(scope="module")
+def solo_eng(stages):
+    """ONE shared max_batch=1 engine: sessions are independent, so every
+    solo comparison reuses the same compiled step."""
+    return make_engine(stages, max_batch=1)
+
+
+@pytest.fixture(scope="module")
+def gen(stages):
+    return make_streaming_generate(*stages, window=W, overlap=OV)
+
+
+def offline(gen, seed, aud_np, speaker=0):
+    out = gen(jax.random.key(seed), jnp.asarray(aud_np)[None],
+              jnp.full((1,), speaker, jnp.int32))
+    return np.asarray(out[0])
+
+
+def solo_run(eng, seed, aud_np, speaker=0, chunk=7):
+    sid = eng.create_session(speaker=speaker, seed=seed)
+    parts = []
+    for i in range(0, len(aud_np), chunk):
+        parts.append(eng.feed(sid, aud_np[i:i + chunk]))
+    parts.append(eng.flush(sid))
+    return np.concatenate(parts, axis=0)
+
+
+class TestEngineOffline:
+    @pytest.mark.parametrize("t", [10, W, 45])
+    def test_matches_offline_streaming(self, solo_eng, gen, rng, t):
+        aud = rng.normal(size=(t, CA)).astype(np.float32)
+        served = solo_run(solo_eng, seed=5, aud_np=aud)
+        ref = offline(gen, seed=5, aud_np=aud)
+        assert served.shape == ref.shape == (t, CM)
+        np.testing.assert_allclose(served, ref, rtol=2e-4, atol=2e-4)
+
+    def test_output_length_equals_features(self, solo_eng, rng):
+        for t in (1, STEP, W, W + 1, W + STEP, 50):
+            aud = rng.normal(size=(t, CA)).astype(np.float32)
+            out = solo_run(solo_eng, seed=0, aud_np=aud, chunk=5)
+            assert out.shape == (t, CM), t
+
+
+class TestMicroBatching:
+    def test_batched_equals_solo(self, stages, solo_eng, rng):
+        """Sessions batched together produce exactly what they produce
+        alone (per-sample vmapped keys), including with bucket padding."""
+        specs = [(11, 0, 30), (12, 1, 45), (13, 2, 20)]   # (seed, spk, T)
+        auds = {s: rng.normal(size=(t, CA)).astype(np.float32)
+                for s, _, t in specs}
+
+        eng = make_engine(stages, max_batch=8)
+        sids = {seed: eng.create_session(speaker=spk, seed=seed)
+                for seed, spk, _ in specs}
+        # interleave feeds without pumping, then one batched pump
+        out = {seed: [] for seed, _, _ in specs}
+        for lo in range(0, 45, 9):
+            for seed, spk, t in specs:
+                a = auds[seed][lo:lo + 9]
+                if len(a):
+                    eng.feed(sids[seed], a, pump=False)
+            eng.pump_all()
+            for seed, _, _ in specs:
+                out[seed].append(eng.poll(sids[seed]))
+        for seed, spk, t in specs:
+            out[seed].append(eng.flush(sids[seed]))
+
+        assert eng.stats["batches"] < eng.stats["windows"], eng.stats
+        for seed, spk, t in specs:
+            batched = np.concatenate(out[seed], axis=0)
+            solo = solo_run(solo_eng, seed=seed, aud_np=auds[seed],
+                            speaker=spk)
+            assert batched.shape == solo.shape == (t, CM)
+            np.testing.assert_allclose(batched, solo, rtol=2e-4, atol=2e-4)
+
+    def test_bucket_padding_counted(self, stages, rng):
+        eng = make_engine(stages, max_batch=8)
+        sids = [eng.create_session(seed=i) for i in range(3)]
+        for sid in sids:
+            eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32),
+                     pump=False)
+        eng.pump_all()
+        assert eng.stats == {"windows": 3, "batches": 1, "pad_rows": 1}
+
+    def test_postprocess_applied(self, stages, rng):
+        eng = make_engine(stages, postprocess=lambda x: x * 0.0)
+        sid = eng.create_session()
+        out = eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32))
+        assert out.shape == (W, CM) and np.all(out == 0.0)
+        eng.flush(sid)
+
+
+class TestSessionLifecycle:
+    def test_closed_session_raises(self, solo_eng, rng):
+        sid = solo_eng.create_session()
+        solo_eng.feed(sid, rng.normal(size=(5, CA)).astype(np.float32))
+        solo_eng.flush(sid)
+        with pytest.raises(SessionClosed):
+            solo_eng.feed(sid, np.zeros((1, CA), np.float32))
+        with pytest.raises(SessionClosed):
+            solo_eng.flush(sid)
+        assert solo_eng.active_sessions() == 0
+
+    def test_empty_flush(self, solo_eng):
+        sid = solo_eng.create_session()
+        out = solo_eng.flush(sid)
+        assert out.shape == (0, CM)
+
+
+class TestHTTPServer:
+    def test_end_to_end(self, stages, solo_eng, rng):
+        eng = make_engine(stages, max_batch=4)
+        server = MotionServer(eng, port=0, pump_interval=0.005).start()
+        try:
+            results = {}
+
+            def client(tag, seed, t):
+                conn = http.client.HTTPConnection("127.0.0.1", server.port)
+                conn.request("POST", "/v1/sessions",
+                             body=json.dumps({"speaker": 0, "seed": seed}))
+                sid = json.loads(conn.getresponse().read())["id"]
+                aud = np.random.default_rng(seed).normal(
+                    size=(t, CA)).astype(np.float32)
+                chunks = []
+                for lo in range(0, t, 11):
+                    a = aud[lo:lo + 11]
+                    conn.request("POST", f"/v1/sessions/{sid}/feed",
+                                 body=a.tobytes(),
+                                 headers={"X-Shape": f"{a.shape[0]},{CA}"})
+                    r = conn.getresponse()
+                    shape = tuple(int(x)
+                                  for x in r.getheader("X-Shape").split(","))
+                    chunks.append(np.frombuffer(r.read(),
+                                                np.float32).reshape(shape))
+                conn.request("POST", f"/v1/sessions/{sid}/flush")
+                r = conn.getresponse()
+                shape = tuple(int(x) for x in r.getheader("X-Shape").split(","))
+                chunks.append(np.frombuffer(r.read(), np.float32).reshape(shape))
+                conn.close()
+                results[tag] = np.concatenate(chunks, axis=0)
+
+            threads = [threading.Thread(target=client, args=(i, 20 + i, 30))
+                       for i in range(2)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+
+            for i in range(2):
+                assert results[i].shape == (30, CM)
+                assert np.all(np.isfinite(results[i]))
+            # served output matches the engine run directly with that seed
+            aud0 = np.random.default_rng(20).normal(size=(30, CA)).astype(
+                np.float32)
+            solo = solo_run(solo_eng, seed=20, aud_np=aud0)
+            np.testing.assert_allclose(results[0], solo, rtol=2e-4, atol=2e-4)
+
+            conn = http.client.HTTPConnection("127.0.0.1", server.port)
+            conn.request("GET", "/healthz")
+            health = json.loads(conn.getresponse().read())
+            assert health["ok"] and health["sessions"] == 0
+            conn.close()
+        finally:
+            server.stop()
