@@ -22,7 +22,7 @@ import numpy as np
 
 def build_engine(config, norm_stats_path: str, vq_path=None,
                  predictor_path=None, refiner_path=None, max_batch: int = 8,
-                 raw: bool = False, seed: int = 0):
+                 max_sessions=None, raw: bool = False, seed: int = 0):
     """Stages via the demo's builder; returns a ready ServingEngine."""
     from probtalk_tpu.cli.demo import build_pipeline
     from probtalk_tpu.serve.engine import ServingEngine
@@ -55,7 +55,7 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
         pipe.vq_model, pipe.vq_variables, pipe.predictor_stage,
         pipe.predictor_state, pipe.refiner_stage, pipe.refiner_state,
         window=pipe.window, overlap=pipe.overlap, max_batch=max_batch,
-        postprocess=postprocess)
+        max_sessions=max_sessions, postprocess=postprocess)
 
 
 def main(argv=None):
@@ -70,6 +70,8 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_sessions", type=int, default=None,
+                   help="admission limit; extra session creates get 503")
     p.add_argument("--pump_interval", type=float, default=0.01)
     p.add_argument("--raw", action="store_true",
                    help="emit normalized fbhe motion instead of "
@@ -83,7 +85,8 @@ def main(argv=None):
     engine = build_engine(
         config, norm_stats, vq_path=args.model_path, predictor_path=body[0],
         refiner_path=body[1] if len(body) > 1 else None,
-        max_batch=args.max_batch, raw=args.raw)
+        max_batch=args.max_batch, max_sessions=args.max_sessions,
+        raw=args.raw)
     server = MotionServer(engine, host=args.host, port=args.port,
                           pump_interval=args.pump_interval).start()
     print(f"serving on http://{args.host}:{server.port} "

@@ -34,8 +34,10 @@ thread so concurrent sessions land in the same device batch.
 
 from __future__ import annotations
 
+import collections
 import itertools
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
@@ -50,12 +52,17 @@ class SessionClosed(KeyError):
     """Raised when feeding/flushing an unknown or already-flushed session."""
 
 
+class EngineBusy(RuntimeError):
+    """Raised by create_session when max_sessions are already active."""
+
+
 @dataclass
 class _Session:
     speaker: int
     key: jax.Array
     feats: List[np.ndarray] = field(default_factory=list)
     n_feat: int = 0                          # true (unpadded) feature frames
+    ready_since: Optional[float] = None      # when the next window got ready
     windows_done: int = 0
     ctx_tail: Optional[np.ndarray] = None    # (overlap, C) trailing context
     emitted: int = 0                         # frames produced so far
@@ -81,12 +88,13 @@ class ServingEngine:
 
     def __init__(self, vq_model, vq_variables, pred_stage, pred_state,
                  ref_stage, ref_state, window: int = 180, overlap: int = 30,
-                 max_batch: int = 8,
+                 max_batch: int = 8, max_sessions: Optional[int] = None,
                  postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None):
         self.window = window
         self.overlap = overlap
         self.step = window - overlap
         self.max_batch = max_batch
+        self.max_sessions = max_sessions
         self.postprocess = postprocess
         self.mot_dim = pred_stage.mot_dim
         self._variables = (
@@ -99,6 +107,10 @@ class ServingEngine:
         self._ids = itertools.count()
         self._lock = threading.Lock()
         self.stats = {"windows": 0, "batches": 0, "pad_rows": 0}
+        # last-512 reservoirs: device wall ms per batched window call, and
+        # window-ready -> output-emitted queueing latency ms
+        self._batch_ms = collections.deque(maxlen=512)
+        self._queue_ms = collections.deque(maxlen=512)
 
     # ------------------------------------------------------------------
     def _build_step(self, vq_model, pred_stage, ref_stage):
@@ -127,6 +139,10 @@ class ServingEngine:
     # ------------------------------------------------------------------
     def create_session(self, speaker: int = 0, seed: int = 0) -> str:
         with self._lock:
+            if (self.max_sessions is not None
+                    and len(self._sessions) >= self.max_sessions):
+                raise EngineBusy(
+                    f"{len(self._sessions)}/{self.max_sessions} sessions")
             sid = f"s{next(self._ids)}"
             self._sessions[sid] = _Session(
                 speaker=int(speaker), key=jax.random.key(seed))
@@ -144,6 +160,8 @@ class ServingEngine:
             s = self._get(sid)
             s.feats.append(feats)
             s.n_feat += feats.shape[0]
+            if s.ready_since is None and self._ready(s):
+                s.ready_since = time.perf_counter()
             if pump:
                 self._pump()
                 return self._pop(s)
@@ -207,6 +225,19 @@ class ServingEngine:
         with self._lock:
             return len(self._sessions)
 
+    def latency_stats(self) -> Dict[str, float]:
+        """p50/p95 over the last 512 windows: device wall per batched call
+        and window-ready -> emitted queueing latency (both ms)."""
+        with self._lock:
+            out = {}
+            for name, buf in (("batch_ms", self._batch_ms),
+                              ("queue_ms", self._queue_ms)):
+                if buf:
+                    v = np.asarray(buf)
+                    out[f"{name}_p50"] = round(float(np.percentile(v, 50)), 2)
+                    out[f"{name}_p95"] = round(float(np.percentile(v, 95)), 2)
+            return out
+
     # ------------------------------------------------------------------
     # internals (caller holds the lock)
     # ------------------------------------------------------------------
@@ -267,9 +298,12 @@ class ServingEngine:
             keys.append(k)
         for _ in range(bucket - n):      # pad rows: any key, output discarded
             keys.append(keys[-1])
+        t0 = time.perf_counter()
         refined = np.asarray(self._step_fn(
             self._variables, jnp.stack(keys), jnp.asarray(aud),
             jnp.asarray(ctxs), jnp.asarray(masks), jnp.asarray(spk)))
+        now = time.perf_counter()
+        self._batch_ms.append((now - t0) * 1e3)
         self.stats["windows"] += n
         self.stats["batches"] += 1
         self.stats["pad_rows"] += bucket - n
@@ -281,6 +315,8 @@ class ServingEngine:
             s.windows_done += 1
             s.emitted += new.shape[0]
             s.pending.append(new)
+            self._queue_ms.append((now - (s.ready_since or t0)) * 1e3)
+            s.ready_since = (now if self._ready(s) else None)
             s.new_frames.set()
 
     def _post(self, x: np.ndarray) -> np.ndarray:

@@ -26,7 +26,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from probtalk_tpu.serve.engine import ServingEngine, SessionClosed
+from probtalk_tpu.serve.engine import EngineBusy, ServingEngine, SessionClosed
 
 
 class MotionServer:
@@ -96,7 +96,8 @@ def _make_handler(server: MotionServer):
             if self.path == "/healthz":
                 self._json(200, {"ok": True,
                                  "sessions": engine.active_sessions(),
-                                 "stats": engine.stats})
+                                 "stats": engine.stats,
+                                 "latency": engine.latency_stats()})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -127,6 +128,8 @@ def _make_handler(server: MotionServer):
                     out = engine.flush(sid)
                     return self._frames(out)
                 return self._json(404, {"error": "not found"})
+            except EngineBusy as e:
+                return self._json(503, {"error": f"at capacity: {e}"})
             except SessionClosed as e:
                 return self._json(410, {"error": f"session gone: {e}"})
             except Exception as e:       # surface to the client, keep serving

@@ -16,7 +16,7 @@ import numpy as np
 import pytest
 
 from probtalk_tpu.models.vqvae import VQVAE
-from probtalk_tpu.serve.engine import ServingEngine, SessionClosed
+from probtalk_tpu.serve.engine import EngineBusy, ServingEngine, SessionClosed
 from probtalk_tpu.serve.server import MotionServer
 from probtalk_tpu.streaming import make_streaming_generate
 from probtalk_tpu.train.stages import PredictorStage, RefinerStage
@@ -161,6 +161,23 @@ class TestSessionLifecycle:
         sid = solo_eng.create_session()
         out = solo_eng.flush(sid)
         assert out.shape == (0, CM)
+
+    def test_max_sessions_backpressure(self, stages):
+        eng = make_engine(stages, max_sessions=2)
+        a, b = eng.create_session(), eng.create_session()
+        with pytest.raises(EngineBusy):
+            eng.create_session()
+        eng.flush(a)
+        c = eng.create_session()          # slot freed by flush
+        eng.flush(b), eng.flush(c)
+
+    def test_latency_stats(self, solo_eng, rng):
+        sid = solo_eng.create_session()
+        solo_eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32))
+        solo_eng.flush(sid)
+        st = solo_eng.latency_stats()
+        assert st["batch_ms_p50"] > 0 and st["batch_ms_p95"] >= st["batch_ms_p50"]
+        assert st["queue_ms_p50"] >= 0
 
 
 class TestHTTPServer:
