@@ -302,7 +302,18 @@ def gen_torch():
 def train_and_gen_jax():
     """Fresh jax predictor+refiner at the same steps/batches; generate.
 
-    Honors PARITY_VARIANT/PARITY_JAX_SEED (see module docstring)."""
+    Honors PARITY_VARIANT/PARITY_JAX_SEED (see module docstring).
+
+    Resume unit: the WHOLE ARM (its gen npz). Intermediate orbax state
+    saves were removed — on this 1-core host serializing a ~600 MB
+    TrainState takes 10+ minutes, dwarfing the ~10 min of 600-step TPU
+    compute it would protect; an interrupted arm just reruns."""
+    vname = VARIANT + ("-tvq" if VQ_SRC == "torch" else "")
+    npz = os.path.join(DIR, f"gen_jax_{vname}_s{JAX_SEED}.npz")
+    if os.path.exists(npz):
+        log(f"jax arm {vname} s{JAX_SEED}: gen npz exists, skipping")
+        return
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -370,9 +381,6 @@ def train_and_gen_jax():
         vq_vars = {"params": vq_state.params, **vq_state.mutables}
 
     ctx_mode, tok_mode, clip_norm, opt, init_style = VARIANTS[VARIANT]
-    vname = VARIANT + ("-tvq" if VQ_SRC == "torch" else "")
-    vdir = os.path.join(DIR, f"{vname}_s{JAX_SEED}")
-    os.makedirs(vdir, exist_ok=True)
     koff = 100 * JAX_SEED
     if opt == "adamw_ref":
         tx = optax.adamw(1e-4, b1=0.9, b2=0.99, weight_decay=0.01)
@@ -393,67 +401,37 @@ def train_and_gen_jax():
                                 jax.random.key(2 + koff), tx,
                                 init_kwargs={"train": True},
                                 torch_init=init_style)
-    # completion markers disambiguate finished runs from step-0 saves
-    # (earlier script versions checkpointed completed stages with id 0)
-    pdone = os.path.join(vdir, "jax_pred.done")
-    pck = Checkpointer(os.path.join(vdir, "jax_pred"))
-    restored, pstart = pck.restore(pstate)
-    if restored is not None:
-        pstate = restored
-        pstart = STEPS if os.path.exists(pdone) else pstart + 1
-        log(f"jax pred restored at step {pstart}")
-    else:
-        pstart = 0
-    if pstart < STEPS:
-        stream = batch_stream(ds, STEPS, seed0=1)
-        pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False,
-                                          context_mask_mode=ctx_mode)
-        key = jax.random.key(3 + koff)
-        for i, b in enumerate(stream):
-            key, k = jax.random.split(key)
-            if i < pstart:
-                continue
-            batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
-                     "aud_feat": jnp.asarray(b["aud_feat"]),
-                     "speaker": jnp.asarray(b["speaker"]),
-                     "epoch_ratio": np.float32(epoch_ratio_of(i))}
-            pstate, m = pstep(pstate, batch, k)
-            if i % 100 == 0 or i == STEPS - 1:
-                log(f"jax pred step {i}: ce {float(m['loss']):.4f}")
-                pck.save(i, pstate, wait=True)
-        open(pdone, "w").write(str(STEPS))
+    stream = batch_stream(ds, STEPS, seed0=1)
+    pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False,
+                                      context_mask_mode=ctx_mode)
+    key = jax.random.key(3 + koff)
+    for i, b in enumerate(stream):
+        key, k = jax.random.split(key)
+        batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
+                 "aud_feat": jnp.asarray(b["aud_feat"]),
+                 "speaker": jnp.asarray(b["speaker"]),
+                 "epoch_ratio": np.float32(epoch_ratio_of(i))}
+        pstate, m = pstep(pstate, batch, k)
+        if i % 100 == 0 or i == STEPS - 1:
+            log(f"jax pred step {i}: ce {float(m['loss']):.4f}")
 
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
     rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
                                 jax.random.key(4 + koff), tx,
                                 init_kwargs={"train": True},
                                 torch_init=init_style)
-    rdone = os.path.join(vdir, "jax_ref.done")
-    rck = Checkpointer(os.path.join(vdir, "jax_ref"))
-    restored, rstart = rck.restore(rstate)
-    if restored is not None:
-        rstate = restored
-        rstart = STEPS if os.path.exists(rdone) else rstart + 1
-        log(f"jax ref restored at step {rstart}")
-    else:
-        rstart = 0
-    if rstart < STEPS:
-        stream = batch_stream(ds, STEPS, seed0=2)
-        rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False,
-                                        context_mask_mode=ctx_mode)
-        key = jax.random.key(5 + koff)
-        for i, b in enumerate(stream):
-            key, k = jax.random.split(key)
-            if i < rstart:
-                continue
-            batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
-                     "aud_feat": jnp.asarray(b["aud_feat"]),
-                     "speaker": jnp.asarray(b["speaker"])}
-            rstate, m = rstep(rstate, batch, k)
-            if i % 100 == 0 or i == STEPS - 1:
-                log(f"jax ref step {i}: loss {float(m['loss']):.4f}")
-                rck.save(i, rstate, wait=True)
-        open(rdone, "w").write(str(STEPS))
+    stream = batch_stream(ds, STEPS, seed0=2)
+    rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False,
+                                    context_mask_mode=ctx_mode)
+    key = jax.random.key(5 + koff)
+    for i, b in enumerate(stream):
+        key, k = jax.random.split(key)
+        batch = {"poses_fbhe": jnp.asarray(fbhe(b)),
+                 "aud_feat": jnp.asarray(b["aud_feat"]),
+                 "speaker": jnp.asarray(b["speaker"])}
+        rstate, m = rstep(rstate, batch, k)
+        if i % 100 == 0 or i == STEPS - 1:
+            log(f"jax ref step {i}: loss {float(m['loss']):.4f}")
 
     # generation through the compiled streaming path
     from probtalk_tpu.streaming import make_streaming_generate
