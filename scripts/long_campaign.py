@@ -70,12 +70,14 @@ def codebook_health(mutables) -> dict:
 
 
 class StepCkpt:
-    """Step-granular orbax resume for one stage."""
+    """Step-granular resume for one stage (flat-npz FastCkpt: orbax
+    serialization of a ~600 MB TrainState is 10+ min on this 1-core
+    host — longer than the compute between saves; FastCkpt is seconds)."""
 
     def __init__(self, name):
-        from probtalk_tpu.train.trainer import Checkpointer
+        from probtalk_tpu.train.fast_ckpt import FastCkpt
 
-        self.ck = Checkpointer(os.path.join(DIR, name))
+        self.ck = FastCkpt(os.path.join(DIR, name))
         self.name = name
 
     def restore(self, state):
@@ -86,7 +88,7 @@ class StepCkpt:
         return restored, step + 1
 
     def save(self, step, state):
-        self.ck.save(step, state, wait=True)
+        self.ck.save(step, state)
 
 
 def main():
