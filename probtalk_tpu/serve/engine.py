@@ -25,6 +25,12 @@ TPU-first design points:
 - **Static shapes everywhere.** Feature windows are fixed ``window``
   frames; flush pads the tail edge-mode exactly like
   ``streaming.pad_to_windows`` and truncates the emitted frames.
+- **Scale-out over a device mesh.** Pass ``mesh`` (``parallel.mesh``)
+  and the window batch shards across the mesh's ``data`` axis — sessions
+  are independent, so serving scales like sample-parallel inference:
+  variables replicate once, each chip runs ``bucket / n_data`` lanes,
+  XLA SPMD inserts no cross-lane collectives. Buckets round up to a
+  multiple of the data axis so every device holds equal rows.
 
 Concurrency model: ``feed``/``poll``/``flush`` are thread-safe. ``feed``
 by default runs the batching pump inline (single-tenant, lowest latency);
@@ -89,12 +95,18 @@ class ServingEngine:
     def __init__(self, vq_model, vq_variables, pred_stage, pred_state,
                  ref_stage, ref_state, window: int = 180, overlap: int = 30,
                  max_batch: int = 8, max_sessions: Optional[int] = None,
+                 mesh=None,
                  postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None):
         self.window = window
         self.overlap = overlap
         self.step = window - overlap
         self.max_batch = max_batch
         self.max_sessions = max_sessions
+        self.mesh = mesh
+        self._granule = 1 if mesh is None else mesh.shape["data"]
+        if max_batch % self._granule:
+            raise ValueError(f"max_batch={max_batch} must be a multiple of "
+                             f"the mesh data axis ({self._granule})")
         self.postprocess = postprocess
         self.mot_dim = pred_stage.mot_dim
         self._variables = (
@@ -102,6 +114,10 @@ class ServingEngine:
             {"params": ref_state.params, **ref_state.mutables},
             vq_variables,
         )
+        if mesh is not None:
+            from probtalk_tpu.parallel.mesh import replicate
+
+            self._variables = replicate(self._variables, mesh)
         self._step_fn = self._build_step(vq_model, pred_stage, ref_stage)
         self._sessions: Dict[str, _Session] = {}
         self._ids = itertools.count()
@@ -277,7 +293,7 @@ class ServingEngine:
     def _run_group(self, sids: List[str]):
         w, ov, c = self.window, self.overlap, self.mot_dim
         n = len(sids)
-        bucket = _bucket(n, self.max_batch)
+        bucket = _bucket(n, self.max_batch, self._granule)
         first = self._sessions[sids[0]].buffered()
         aud = np.zeros((bucket, w, first.shape[-1]), np.float32)
         ctxs = np.zeros((bucket, w, c), np.float32)
@@ -299,9 +315,13 @@ class ServingEngine:
         for _ in range(bucket - n):      # pad rows: any key, output discarded
             keys.append(keys[-1])
         t0 = time.perf_counter()
-        refined = np.asarray(self._step_fn(
-            self._variables, jnp.stack(keys), jnp.asarray(aud),
-            jnp.asarray(ctxs), jnp.asarray(masks), jnp.asarray(spk)))
+        args = (jnp.stack(keys), jnp.asarray(aud), jnp.asarray(ctxs),
+                jnp.asarray(masks), jnp.asarray(spk))
+        if self.mesh is not None:        # batch rows across the data axis
+            from probtalk_tpu.parallel.mesh import shard_batch
+
+            args = shard_batch(args, self.mesh)
+        refined = np.asarray(self._step_fn(self._variables, *args))
         now = time.perf_counter()
         self._batch_ms.append((now - t0) * 1e3)
         self.stats["windows"] += n
@@ -323,8 +343,8 @@ class ServingEngine:
         return self.postprocess(x) if self.postprocess is not None else x
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    b = 1
+def _bucket(n: int, max_batch: int, granule: int = 1) -> int:
+    b = granule
     while b < n:
         b *= 2
     return min(b, max_batch)

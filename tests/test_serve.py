@@ -180,6 +180,44 @@ class TestSessionLifecycle:
         assert st["queue_ms_p50"] >= 0
 
 
+class TestMeshServing:
+    """Scale-out serving: the window batch shards over the mesh's data
+    axis (sessions are independent — no cross-lane collectives)."""
+
+    def test_sharded_equals_unsharded(self, stages, solo_eng, rng):
+        from probtalk_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=1)              # 8 virtual CPU devices
+        eng = make_engine(stages, max_batch=8, mesh=mesh)
+        specs = [(31, 0, 40), (32, 1, 25), (33, 0, 16)]
+        outs = {}
+        for seed, spk, t in specs:
+            aud = np.random.default_rng(seed).normal(
+                size=(t, CA)).astype(np.float32)
+            sid = eng.create_session(speaker=spk, seed=seed)
+            parts = [eng.feed(sid, aud[:10], pump=False)]
+            eng.feed(sid, aud[10:], pump=False)
+            eng.pump_all()
+            parts.append(eng.poll(sid))
+            parts.append(eng.flush(sid))
+            outs[seed] = np.concatenate(parts, axis=0)
+        # bucket rounded up to the 8-wide data axis => pad rows counted
+        assert eng.stats["pad_rows"] > 0
+        for seed, spk, t in specs:
+            aud = np.random.default_rng(seed).normal(
+                size=(t, CA)).astype(np.float32)
+            solo = solo_run(solo_eng, seed=seed, aud_np=aud, speaker=spk)
+            assert outs[seed].shape == solo.shape == (t, CM)
+            np.testing.assert_allclose(outs[seed], solo, rtol=2e-4,
+                                       atol=2e-4)
+
+    def test_max_batch_must_cover_mesh(self, stages):
+        from probtalk_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError, match="multiple of"):
+            make_engine(stages, max_batch=4, mesh=make_mesh(model=1))
+
+
 class TestHTTPServer:
     def test_end_to_end(self, stages, solo_eng, rng):
         eng = make_engine(stages, max_batch=4)
