@@ -30,6 +30,47 @@ _CONV_LAYERS = [(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2
 _FE_DOWNSAMPLE = 320  # total stride: 16kHz -> 50 fps
 
 
+def _conv_patches(x: jax.Array, k: int, s: int) -> jax.Array:
+    """(B, T, C) -> (B, T_out, k*C) VALID-conv patches, tap-major — the
+    layout that matches a (k, C, O) conv kernel reshaped to (k*C, O)."""
+    t_out = (x.shape[1] - k) // s + 1
+    cols = [x[:, j:j + s * t_out:s, :] for j in range(k)]
+    return jnp.concatenate(cols, axis=-1)
+
+
+class _PatchConv(nn.Module):
+    """Strided VALID 1-D conv as an im2col matmul.
+
+    Param tree (``kernel`` (k, C, O) [+ ``bias``]) is identical to
+    ``nn.Conv``, so converted HF checkpoints load unchanged. Measured
+    2x SLOWER than XLA's native conv lowering on real TPU (the
+    materialized k*C patch tensors cost more HBM traffic than the conv
+    saves — W2V_FE_BENCH.json, scripts/bench_w2v_fe.py); kept as the
+    measured ablation arm, default stays ``impl='conv'``."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, cin, self.features))
+        patches = _conv_patches(x, self.kernel, self.stride)
+        w2 = w.reshape(self.kernel * cin, self.features)
+        if self.dtype is not None:
+            patches = patches.astype(self.dtype)
+            w2 = w2.astype(self.dtype)
+        y = patches @ w2
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class FeatureExtractor(nn.Module):
     """Raw waveform (B, S) -> (B, S/320, 512).
 
@@ -40,14 +81,19 @@ class FeatureExtractor(nn.Module):
     dtype: Optional[jnp.dtype] = None   # bf16 compute option (norms stay f32)
     norm_mode: str = "group"
     conv_bias: bool = False
+    impl: str = "conv"                  # 'conv' (XLA, fastest) | 'matmul'
 
     @nn.compact
     def __call__(self, x):
         h = x[..., None]
         for i, (dim, k, s) in enumerate(_CONV_LAYERS):
-            h = nn.Conv(dim, (k,), strides=(s,), padding="VALID",
-                        use_bias=self.conv_bias,
-                        dtype=self.dtype, name=f"conv_{i}")(h)
+            if self.impl == "matmul":
+                h = _PatchConv(dim, k, s, use_bias=self.conv_bias,
+                               dtype=self.dtype, name=f"conv_{i}")(h)
+            else:
+                h = nn.Conv(dim, (k,), strides=(s,), padding="VALID",
+                            use_bias=self.conv_bias,
+                            dtype=self.dtype, name=f"conv_{i}")(h)
             if self.norm_mode == "layer":
                 h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                  name=f"conv_ln_{i}")(h)
@@ -118,6 +164,7 @@ class Wav2Vec2Encoder(nn.Module):
     conv_bias: bool = False
     stable_layer_norm: bool = False  # pre-LN encoder + final LN (HuBERT-large)
     dtype: Optional[jnp.dtype] = None   # bf16 compute (f32 params/norms)
+    fe_impl: str = "conv"            # feature-extractor conv impl (see above)
 
     @nn.compact
     def __call__(self, waveform, n_frames: Optional[int] = None,
@@ -125,7 +172,7 @@ class Wav2Vec2Encoder(nn.Module):
         """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
         S/16000*30). None keeps the native 50 fps."""
         feat = FeatureExtractor(dtype=self.dtype, norm_mode=self.norm_mode,
-                                conv_bias=self.conv_bias,
+                                conv_bias=self.conv_bias, impl=self.fe_impl,
                                 name="feature_extractor")(waveform)
 
         # 50 fps -> motion fps alignment (the reference's core patch,

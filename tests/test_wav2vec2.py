@@ -82,6 +82,34 @@ class TestHFConverter:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestMatmulFeatureExtractor:
+    def test_matmul_matches_conv(self, rng):
+        """The im2col/matmul feature extractor (`impl='matmul'`, the TPU
+        MXU path) computes the same function as the XLA-conv formulation
+        on the SAME param tree — both group-norm (wav2vec2) and
+        layer-norm+bias (HuBERT) modes."""
+        x = jnp.asarray(rng.normal(size=(2, 3210)).astype(np.float32))
+        for mode, bias in (("group", False), ("layer", True)):
+            conv = FeatureExtractor(impl="conv", norm_mode=mode,
+                                    conv_bias=bias)
+            v = conv.init(jax.random.key(1), x)
+            a = conv.apply(v, x)
+            mm = FeatureExtractor(impl="matmul", norm_mode=mode,
+                                  conv_bias=bias)
+            b = mm.apply(v, x)   # identical tree: kernel (k, C, O) [+ bias]
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-5)
+
+    def test_param_tree_identical(self):
+        x = jnp.zeros((1, 3200), jnp.float32)
+        va = FeatureExtractor(impl="conv").init(jax.random.key(0), x)
+        vb = FeatureExtractor(impl="matmul").init(jax.random.key(0), x)
+        sa = jax.tree.map(lambda t: t.shape, va)
+        sb = jax.tree.map(lambda t: t.shape, vb)
+        assert sa == sb
+
+
 class TestBF16Compute:
     def test_bf16_close_to_f32(self, rng):
         """dtype=bf16 runs the same params and stays within bf16 tolerance
