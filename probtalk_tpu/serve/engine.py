@@ -4,14 +4,14 @@ The reference serves inference only as one-shot scripts over whole files
 (``scripts/demo.py:69-181``, ``scripts/test_holisticbody.py:240-261``).
 This module is the production counterpart for TPU deployment: many
 concurrent audio streams share ONE compiled window program, batched
-together whenever they have a window of features ready.
+together whenever they have a window of input ready.
 
 TPU-first design points:
 
-- **One compiled step per batch bucket.** The window program (predictor
-  MaskGit sample -> PQ decode -> refiner) is jitted once per power-of-two
-  batch size; sessions are padded into the nearest bucket, so arbitrary
-  concurrency never triggers a recompile.
+- **One compiled step per batch bucket.** The window program (optional
+  Wav2Vec2 frontend -> predictor MaskGit sample -> PQ decode -> refiner)
+  is jitted once per power-of-two batch size; sessions are padded into the
+  nearest bucket, so arbitrary concurrency never triggers a recompile.
 - **Per-sample RNG via vmap.** The step is ``jax.vmap`` of a batch-1
   window with its own PRNG key per lane. JAX's counter-based PRNG makes a
   vmapped draw bitwise-equal to the same draw made alone, so within a
@@ -22,9 +22,28 @@ TPU-first design points:
   key-split pattern). Across DIFFERENT bucket sizes the XLA programs
   differ, so on TPU outputs agree only to bf16 matmul tolerance
   (measured 5e-3 max abs on real-size stages; exact in f32 on CPU).
-- **Static shapes everywhere.** Feature windows are fixed ``window``
-  frames; flush pads the tail edge-mode exactly like
-  ``streaming.pad_to_windows`` and truncates the emitted frames.
+- **Raw-audio ingestion** (``frontend=(w2v_model, w2v_vars)``): sessions
+  feed 16 kHz PCM and the engine runs the Wav2Vec2 (50->30 fps) encoder
+  on device inside the SAME batched window program — clients never
+  compute features, and the host->device upload shrinks from a 768-d
+  feature window (~553 KB) to the waveform (~320 KB f32 / 160 KB int16
+  with ``wav_dtype=np.int16``). Streaming deviation from the offline
+  path (which encodes the WHOLE clip before windowing,
+  ``scripts/demo.py:77-111``): acoustic attention context is local to
+  each 180-frame window — the causal choice any streaming system must
+  make; every emitted frame still has >=overlap frames of left context.
+- **Transfer-aware batching** (this backend moves ~25 MB/s host<->device):
+  the motion-context upload is the (overlap, C) tail only — the window
+  gets zero-padded and masked INSIDE the program; the device call returns
+  ``(refined, tails)`` and only the tiny tails are fetched at pump time
+  (doubling as the completion barrier), while the full refined windows
+  stay device-resident and transfer lazily at ``poll``/``feed``-return
+  time, overlapping later batches' compute. ``emit_dtype=jnp.float16``
+  additionally halves the output transfer (upcast to f32 on host).
+- **Static shapes everywhere.** Windows are fixed ``window`` frames
+  (``window*sr/fps`` samples in raw mode); flush pads the tail edge-mode
+  exactly like ``streaming.pad_to_windows`` and truncates the emitted
+  frames to the true input length.
 - **Scale-out over a device mesh.** Pass ``mesh`` (``parallel.mesh``)
   and the window batch shards across the mesh's ``data`` axis — sessions
   are independent, so serving scales like sample-parallel inference:
@@ -45,7 +64,7 @@ import itertools
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -62,17 +81,37 @@ class EngineBusy(RuntimeError):
     """Raised by create_session when max_sessions are already active."""
 
 
+class _BatchOut:
+    """One device call's refined windows, fetched to host at most once."""
+
+    __slots__ = ("dev", "np")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self.np = None
+
+    def host(self) -> np.ndarray:
+        if self.np is None:
+            arr = np.asarray(self.dev)
+            if arr.dtype != np.float32:
+                arr = arr.astype(np.float32)
+            self.np = arr
+            self.dev = None
+        return self.np
+
+
 @dataclass
 class _Session:
     speaker: int
     key: jax.Array
     feats: List[np.ndarray] = field(default_factory=list)
-    n_feat: int = 0                          # true (unpadded) feature frames
+    n_feat: int = 0                          # true (unpadded) input units fed
     ready_since: Optional[float] = None      # when the next window got ready
     windows_done: int = 0
     ctx_tail: Optional[np.ndarray] = None    # (overlap, C) trailing context
-    emitted: int = 0                         # frames produced so far
-    pending: List[np.ndarray] = field(default_factory=list)
+    emitted: int = 0                         # motion frames produced so far
+    # pending output: (batch record, lane, frames to skip at the front)
+    pending: List[Tuple[_BatchOut, int, int]] = field(default_factory=list)
     new_frames: threading.Event = field(default_factory=threading.Event)
     closed: bool = False
 
@@ -86,17 +125,20 @@ class ServingEngine:
     """Micro-batching streaming engine over the three frozen stages.
 
     Constructor parameters mirror ``streaming.make_streaming_generate``;
-    inputs are motion-fps audio features (T, aud_dim) fed incrementally per
-    session. ``postprocess`` (optional) maps each emitted (T, C)
-    normalized-fbhe chunk before it is returned (e.g. denormalize +
-    part2full).
+    inputs are motion-fps audio features (T, aud_dim) — or, with
+    ``frontend=(w2v_model, w2v_variables)``, raw 16 kHz PCM waveforms —
+    fed incrementally per session. ``postprocess`` (optional) maps each
+    emitted (T, C) normalized-fbhe chunk before it is returned (e.g.
+    denormalize + part2full).
     """
 
     def __init__(self, vq_model, vq_variables, pred_stage, pred_state,
                  ref_stage, ref_state, window: int = 180, overlap: int = 30,
                  max_batch: int = 8, max_sessions: Optional[int] = None,
                  mesh=None,
-                 postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None):
+                 postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                 frontend: Optional[tuple] = None, sr: int = 16000,
+                 fps: int = 30, wav_dtype=np.float32, emit_dtype=None):
         self.window = window
         self.overlap = overlap
         self.step = window - overlap
@@ -109,16 +151,34 @@ class ServingEngine:
                              f"the mesh data axis ({self._granule})")
         self.postprocess = postprocess
         self.mot_dim = pred_stage.mot_dim
+        self.raw_audio = frontend is not None
+        self.wav_dtype = np.dtype(wav_dtype)
+        if self.raw_audio:
+            if (window * sr) % fps or (self.step * sr) % fps:
+                raise ValueError(
+                    f"window/step frames must map to whole samples: "
+                    f"window={window} step={self.step} sr={sr} fps={fps}")
+            if self.wav_dtype not in (np.float32, np.int16):
+                raise ValueError("wav_dtype must be float32 or int16")
+            self._upf = sr // np.gcd(sr, fps)      # units per frame (ratio)
+            self._fpu = fps // np.gcd(sr, fps)
+        else:
+            self._upf = self._fpu = 1
+        self.sr, self.fps = sr, fps
+        self.emit_dtype = emit_dtype
         self._variables = (
             {"params": pred_state.params, **pred_state.mutables},
             {"params": ref_state.params, **ref_state.mutables},
             vq_variables,
+            frontend[1] if self.raw_audio else (),
         )
         if mesh is not None:
             from probtalk_tpu.parallel.mesh import replicate
 
             self._variables = replicate(self._variables, mesh)
-        self._step_fn = self._build_step(vq_model, pred_stage, ref_stage)
+        self._step_fn = self._build_step(
+            vq_model, pred_stage, ref_stage,
+            frontend[0] if self.raw_audio else None)
         self._sessions: Dict[str, _Session] = {}
         self._ids = itertools.count()
         self._lock = threading.Lock()
@@ -129,12 +189,41 @@ class ServingEngine:
         self._queue_ms = collections.deque(maxlen=512)
 
     # ------------------------------------------------------------------
-    def _build_step(self, vq_model, pred_stage, ref_stage):
-        window = self.window
+    def _frames_of(self, units: int) -> int:
+        """True input units (samples in raw mode, frames otherwise) ->
+        whole motion frames covered."""
+        return units * self._fpu // self._upf
 
-        def one(variables, key, aud_w, ctx, mask, speaker):
+    def _units(self, frames: int) -> int:
+        return frames * self._upf // self._fpu
+
+    # ------------------------------------------------------------------
+    def _build_step(self, vq_model, pred_stage, ref_stage, fe_model):
+        window, ov = self.window, self.overlap
+        int16_in = self.raw_audio and self.wav_dtype == np.int16
+        emit_dtype = self.emit_dtype
+
+        def one(variables, key, aud_w, tail, first, n_valid, speaker):
             # batch-1 window; vmapped below so every lane owns its key
-            pred_vars, ref_vars, vq_vars = variables
+            pred_vars, ref_vars, vq_vars, fe_vars = variables
+            if fe_model is not None:
+                wav = aud_w.astype(jnp.float32)
+                if int16_in:
+                    wav = wav / 32768.0
+                aud_w = fe_model.apply(fe_vars, wav[None], n_frames=window)[0]
+                # flush-padded tail windows: repeat the last VALID feature
+                # frame (edge mode) — the offline pad_to_windows semantics,
+                # in feature space where it belongs (padding raw samples
+                # and encoding them would leak pad values into the frames)
+                idx = jnp.minimum(jnp.arange(window), n_valid - 1)
+                aud_w = aud_w[idx]
+            # motion context window rebuilt on device from the tail upload:
+            # rows [0, ov) = previous window's tail (fresh sessions zeroed),
+            # rest zero — identical to the old full-window host build
+            live = 1.0 - first
+            ctx = jnp.pad(tail, ((0, window - ov), (0, 0))) * live
+            mask = jnp.pad(jnp.ones((ov, 1), jnp.float32),
+                           ((0, window - ov), (0, 0))) * live
             aud_w, ctx, mask = aud_w[None], ctx[None], mask[None]
             speaker = speaker[None]
             masked = ctx * mask
@@ -146,9 +235,11 @@ class ServingEngine:
             blended = masked * mask + prelim * (1.0 - mask)
             refined = ref_stage.apply(ref_vars, blended, aud_w, mask, speaker,
                                       train=False)
-            return (ctx * mask + refined * (1.0 - mask))[0]
+            out = (ctx * mask + refined * (1.0 - mask))[0]
+            emit = out if emit_dtype is None else out.astype(emit_dtype)
+            return emit, out[-ov:]
 
-        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
+        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0)))
 
     # ------------------------------------------------------------------
     # session API (thread-safe)
@@ -165,13 +256,25 @@ class ServingEngine:
             return sid
 
     def feed(self, sid: str, feats: np.ndarray, pump: bool = True) -> np.ndarray:
-        """Append (T, aud_dim) features. With ``pump=True`` (default) runs
-        the batching pump inline and returns any newly ready motion frames
-        as (T_ready, C); with ``pump=False`` returns an empty chunk and
-        leaves the work for ``pump_all()`` + ``poll()``."""
-        feats = np.asarray(feats, np.float32)
-        if feats.ndim != 2:
-            raise ValueError(f"feats must be (T, aud_dim), got {feats.shape}")
+        """Append input: (T, aud_dim) features, or a (S,) 16 kHz waveform in
+        raw-audio mode. With ``pump=True`` (default) runs the batching pump
+        inline and returns any newly ready motion frames as (T_ready, C);
+        with ``pump=False`` returns an empty chunk and leaves the work for
+        ``pump_all()`` + ``poll()``."""
+        feats = np.asarray(feats)
+        if self.raw_audio:
+            if feats.ndim != 1:
+                raise ValueError(f"raw-audio mode feeds (S,) waveforms, "
+                                 f"got {feats.shape}")
+            if feats.dtype == np.int16 and self.wav_dtype == np.float32:
+                feats = feats.astype(np.float32) / 32768.0
+            elif feats.dtype != np.int16 and self.wav_dtype == np.int16:
+                feats = np.clip(feats * 32768.0, -32768, 32767).astype(np.int16)
+            feats = feats.astype(self.wav_dtype)[:, None]
+        else:
+            feats = feats.astype(np.float32)
+            if feats.ndim != 2:
+                raise ValueError(f"feats must be (T, aud_dim), got {feats.shape}")
         with self._lock:
             s = self._get(sid)
             s.feats.append(feats)
@@ -209,17 +312,19 @@ class ServingEngine:
 
     def flush(self, sid: str) -> np.ndarray:
         """End of stream: run the final (edge-padded) windows, truncate to
-        the true feature length, close the session, and return every frame
+        the true input length, close the session, and return every frame
         not yet delivered to the client."""
+        w_units = self._units(self.window)
         with self._lock:
             s = self._get(sid)
-            delivered = s.emitted - sum(c.shape[0] for c in s.pending)
+            total_frames = self._frames_of(s.n_feat)
+            delivered = s.emitted - sum(self._chunk_len(c) for c in s.pending)
             self._pump()
-            while s.n_feat > s.emitted:
+            while total_frames > s.emitted:
                 buf = s.buffered()
                 if buf.shape[0] == 0:
                     break
-                need = self._window_start(s.windows_done) + self.window
+                need = self._window_start(s.windows_done) + w_units
                 if buf.shape[0] < need:
                     pad = np.repeat(buf[-1:], need - buf.shape[0], axis=0)
                     s.feats = [np.concatenate([buf, pad], axis=0)]
@@ -227,15 +332,15 @@ class ServingEngine:
                 self._pump()
                 if self.stats["windows"] == ran:
                     break
-            chunks, total = s.pending, s.n_feat
+            chunks, s.pending = s.pending, []
             s.closed = True
             s.new_frames.set()
             del self._sessions[sid]
         if not chunks:
             return np.zeros((0, self.mot_dim), np.float32)
-        out = np.concatenate(chunks, axis=0)
-        # drop edge-pad frames past the true feature count
-        return self._post(out[: max(total - delivered, 0)])
+        out = np.concatenate([self._materialize(c) for c in chunks], axis=0)
+        # drop edge-pad frames past the true input length
+        return self._post(out[: max(total_frames - delivered, 0)])
 
     def active_sessions(self) -> int:
         with self._lock:
@@ -263,23 +368,35 @@ class ServingEngine:
             raise SessionClosed(sid)
         return s
 
+    @staticmethod
+    def _chunk_len(chunk) -> int:
+        rec, _lane, skip = chunk
+        return rec.dev.shape[1] - skip if rec.np is None \
+            else rec.np.shape[1] - skip
+
+    @staticmethod
+    def _materialize(chunk) -> np.ndarray:
+        rec, lane, skip = chunk
+        return rec.host()[lane, skip:]
+
     def _pop(self, s: _Session) -> np.ndarray:
         if not s.pending:
             s.new_frames.clear()
             return np.zeros((0, self.mot_dim), np.float32)
-        out = np.concatenate(s.pending, axis=0)
+        out = np.concatenate([self._materialize(c) for c in s.pending], axis=0)
         s.pending = []
         s.new_frames.clear()
         return self._post(out)
 
     def _window_start(self, w_idx: int) -> int:
-        # window w covers feature frames [step*w, step*w + window)
-        return self.step * w_idx
+        # window w covers input units [step*w, step*w + window) (frame
+        # counts scaled by units-per-frame in raw-audio mode)
+        return self._units(self.step) * w_idx
 
     def _ready(self, s: _Session) -> bool:
         return (not s.closed and
                 s.buffered().shape[0]
-                >= self._window_start(s.windows_done) + self.window)
+                >= self._window_start(s.windows_done) + self._units(self.window))
 
     def _pump(self):
         """Batch every ready session's next window until none is ready."""
@@ -291,22 +408,33 @@ class ServingEngine:
                 self._run_group(ready[i:i + self.max_batch])
 
     def _run_group(self, sids: List[str]):
-        w, ov, c = self.window, self.overlap, self.mot_dim
+        w_units = self._units(self.window)
+        ov, c = self.overlap, self.mot_dim
         n = len(sids)
         bucket = _bucket(n, self.max_batch, self._granule)
-        first = self._sessions[sids[0]].buffered()
-        aud = np.zeros((bucket, w, first.shape[-1]), np.float32)
-        ctxs = np.zeros((bucket, w, c), np.float32)
-        masks = np.zeros((bucket, w, 1), np.float32)
+        if self.raw_audio:
+            aud = np.zeros((bucket, w_units), self.wav_dtype)
+        else:
+            first_buf = self._sessions[sids[0]].buffered()
+            aud = np.zeros((bucket, w_units, first_buf.shape[-1]), np.float32)
+        tails = np.zeros((bucket, ov, c), np.float32)
+        first = np.ones((bucket,), np.float32)
+        n_valid = np.full((bucket,), self.window, np.int32)
         spk = np.zeros((bucket,), np.int32)
         keys = []
         for i, sid in enumerate(sids):
             s = self._sessions[sid]
             start = self._window_start(s.windows_done)
-            aud[i] = s.buffered()[start:start + w]
+            win = s.buffered()[start:start + w_units]
+            aud[i] = win[:, 0] if self.raw_audio else win
             if s.windows_done > 0:
-                ctxs[i, :ov] = s.ctx_tail
-                masks[i, :ov] = 1.0
+                tails[i] = s.ctx_tail
+                first[i] = 0.0
+            # frames of TRUE (unpadded) input covered by this window — only
+            # flush-padded tail windows fall short of a full window
+            n_valid[i] = max(min(
+                self._frames_of(s.n_feat) - self.step * s.windows_done,
+                self.window), 1)
             spk[i] = s.speaker
             # the offline schedule's split pattern: carry the first output,
             # consume the second (streaming.py:55,69)
@@ -315,26 +443,29 @@ class ServingEngine:
         for _ in range(bucket - n):      # pad rows: any key, output discarded
             keys.append(keys[-1])
         t0 = time.perf_counter()
-        args = (jnp.stack(keys), jnp.asarray(aud), jnp.asarray(ctxs),
-                jnp.asarray(masks), jnp.asarray(spk))
+        args = (jnp.stack(keys), jnp.asarray(aud), jnp.asarray(tails),
+                jnp.asarray(first), jnp.asarray(n_valid), jnp.asarray(spk))
         if self.mesh is not None:        # batch rows across the data axis
             from probtalk_tpu.parallel.mesh import shard_batch
 
             args = shard_batch(args, self.mesh)
-        refined = np.asarray(self._step_fn(self._variables, *args))
+        refined_dev, tails_dev = self._step_fn(self._variables, *args)
+        # fetching the tiny tails is the completion barrier; the full
+        # refined windows stay on device and transfer lazily at pop time
+        tails_np = np.asarray(tails_dev)
         now = time.perf_counter()
+        rec = _BatchOut(refined_dev)
         self._batch_ms.append((now - t0) * 1e3)
         self.stats["windows"] += n
         self.stats["batches"] += 1
         self.stats["pad_rows"] += bucket - n
         for i, sid in enumerate(sids):
             s = self._sessions[sid]
-            full = refined[i]
-            new = full if s.windows_done == 0 else full[ov:]
-            s.ctx_tail = full[-ov:].copy()
+            skip = 0 if s.windows_done == 0 else ov
+            s.ctx_tail = tails_np[i]
             s.windows_done += 1
-            s.emitted += new.shape[0]
-            s.pending.append(new)
+            s.emitted += self.window - skip
+            s.pending.append((rec, i, skip))
             self._queue_ms.append((now - (s.ready_since or t0)) * 1e3)
             s.ready_since = (now if self._ready(s) else None)
             s.new_frames.set()

@@ -9,7 +9,10 @@ on the hot path.
 API:
   POST /v1/sessions                 {"speaker": int, "seed": int} -> {"id": sid}
   POST /v1/sessions/<id>/feed       body = float32 (T, aud_dim) raw bytes,
-                                    header X-Shape: "T,aud_dim"
+                                    header X-Shape: "T,aud_dim"; raw-audio
+                                    engines take a (S,) 16 kHz waveform
+                                    (X-Shape: "S"), float32 or PCM int16
+                                    (X-Dtype: int16)
                                     -> float32 (T_ready, C) + X-Shape header
   POST /v1/sessions/<id>/flush      -> remaining float32 frames + X-Shape
   GET  /healthz                     -> {"ok": true, "sessions": n}
@@ -117,8 +120,10 @@ def _make_handler(server: MotionServer):
                         shape = tuple(
                             int(x) for x in
                             self.headers.get("X-Shape", "").split(","))
+                        dt = np.int16 if self.headers.get(
+                            "X-Dtype") == "int16" else np.float32
                         feats = np.frombuffer(
-                            self._read_body(), np.float32).reshape(shape)
+                            self._read_body(), dt).reshape(shape)
                         engine.feed(sid, feats, pump=False)
                         # wait one pump round so a lone client still gets
                         # its frames on the feed response

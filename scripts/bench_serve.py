@@ -1,16 +1,27 @@
 """Serving-engine bench: concurrent streaming sessions on real stages.
 
-The numbers recorded in PERFORMANCE.md (round 3) came from this drive on
-one TPU v5e chip: 3 concurrent sessions end-to-end, cross-bucket bf16
-agreement 5.3e-3, steady-state 3,169 new frames/s with a full 4-lane
-bucket (105x real-time at 30 fps).
+Steady-state throughput with a full bucket, OUTPUTS MATERIALIZED in the
+timed loop (every session polls each round — the device->host transfer is
+part of serving, and on this tunnel-attached backend it dominates).
+
+Modes:
+  feature (default)      sessions feed 768-d motion-fps features
+  SERVE_BENCH_RAW=1      sessions feed raw 16 kHz PCM; the engine runs the
+                         full Wav2Vec2-base (50->30 fps) frontend on device
+                         inside the batched window program
+  SERVE_BENCH_INT16=1    (raw mode) int16 PCM wire/upload
+  SERVE_BENCH_F16OUT=1   float16 device->host output transfer
+  SERVE_BENCH_LANES=n    bucket width (default 4)
+  SERVE_BENCH_BF16=1     bf16 predictor/refiner stacks
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serve.py
-Knobs: SERVE_BENCH_LANES (default 4), SERVE_BENCH_BF16=1 for bf16 stacks.
+Round-3 numbers recorded in PERFORMANCE.md come from this drive on one
+TPU v5e chip.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -26,13 +37,17 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 
+    from probtalk_tpu.audio.wav2vec2 import Wav2Vec2Encoder
     from probtalk_tpu.models.vqvae import VQVAE
     from probtalk_tpu.serve.engine import ServingEngine
     from probtalk_tpu.train.stages import PredictorStage, RefinerStage
     from probtalk_tpu.train.state import adamw, create_train_state
 
-    cm, ca, t = 376, 768, 180
+    cm, ca, t, sr = 376, 768, 180, 16000
     lanes = int(os.environ.get("SERVE_BENCH_LANES", 4))
+    raw = bool(os.environ.get("SERVE_BENCH_RAW"))
+    int16 = bool(os.environ.get("SERVE_BENCH_INT16"))
+    f16out = bool(os.environ.get("SERVE_BENCH_F16OUT"))
     sdt = jnp.bfloat16 if os.environ.get("SERVE_BENCH_BF16") else None
 
     t0 = time.time()
@@ -54,31 +69,62 @@ def main():
     ref_state = create_train_state(ref, (x, aud, mask, spk),
                                    jax.random.key(3), adamw(1e-4),
                                    init_kwargs={"train": False})
+    kw = {}
+    if raw:
+        w2v = Wav2Vec2Encoder()
+        w2v_vars = jax.jit(lambda r, x: w2v.init(r, x, n_frames=t))(
+            jax.random.key(4), jnp.zeros((1, sr), jnp.float32))
+        kw.update(frontend=(w2v, w2v_vars), sr=sr, fps=30,
+                  wav_dtype=np.int16 if int16 else np.float32)
+    if f16out:
+        kw["emit_dtype"] = jnp.float16
     print(f"init {time.time()-t0:.0f}s; devices {jax.devices()}")
 
     eng = ServingEngine(vq, vq_vars, pred, pred_state, ref, ref_state,
-                        window=t, overlap=30, max_batch=lanes)
+                        window=t, overlap=30, max_batch=lanes, **kw)
     step = eng.step                                   # new frames per window
     rng = np.random.default_rng(0)
-    feats = 0.1 * rng.normal(size=(t + 20 * step, ca)).astype(np.float32)
+
+    def u(frames: int) -> int:                        # frames -> input units
+        return frames * sr // 30 if raw else frames
+
+    feats_len = u(t + 24 * step)
+    if raw:
+        wav = (0.1 * rng.normal(size=(feats_len,))).astype(np.float32)
+        feats = (np.clip(wav * 32768, -32768, 32767).astype(np.int16)
+                 if int16 else wav)
+    else:
+        feats = 0.1 * rng.normal(size=(feats_len, ca)).astype(np.float32)
 
     sids = [eng.create_session(speaker=i, seed=i) for i in range(lanes)]
     for sid in sids:                                  # first full window
-        eng.feed(sid, feats[:t], pump=False)
+        eng.feed(sid, feats[:u(t)], pump=False)
     eng.pump_all()                                    # warm/compile
-    n_iter, frames = 10, 0
+    for sid in sids:
+        eng.poll(sid)
+    n_iter, frames = 16, 0
     t0 = time.time()
     for it in range(n_iter):
-        lo = t + it * step
+        lo, hi = u(t + it * step), u(t + (it + 1) * step)
         for sid in sids:
-            eng.feed(sid, feats[lo:lo + step], pump=False)
+            eng.feed(sid, feats[lo:hi], pump=False)
         frames += lanes * step
-        eng.pump_all()                                # engine fetch = barrier
+        eng.pump_all()
+        for sid in sids:                              # materialize outputs
+            out = eng.poll(sid)
+            assert out.shape[0] == step, out.shape
     dt = time.time() - t0
-    print(f"lanes={lanes} dtype={'bf16' if sdt else 'f32'}: "
-          f"{frames/dt:.0f} new frames/s "
-          f"({frames/dt/30:.0f}x real-time at 30 fps); "
-          f"latency {eng.latency_stats()}")
+    mode = ("raw-int16" if raw and int16 else "raw-f32" if raw else "feature")
+    result = {
+        "mode": mode, "lanes": lanes,
+        "stage_dtype": "bf16" if sdt else "f32",
+        "emit": "f16" if f16out else "f32",
+        "frames_per_s": round(frames / dt, 1),
+        "x_realtime_30fps": round(frames / dt / 30, 1),
+        **eng.latency_stats(),
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

@@ -273,3 +273,133 @@ class TestHTTPServer:
             conn.close()
         finally:
             server.stop()
+
+
+# ---------------------------------------------------------------------------
+# Raw-audio ingestion (on-device frontend)
+# ---------------------------------------------------------------------------
+
+SR, FPS = 160, 16          # 10 samples per motion frame (test-sized)
+UPF = SR // FPS
+
+
+class _FrameLocalFrontend:
+    """Tiny frontend module: (B, S) waveform -> (B, n_frames, CA) features
+    via a per-frame reshape + Dense. Frame-LOCAL by construction, so
+    per-window encoding == whole-clip encoding — letting the raw-audio
+    engine be compared exactly against the feature-mode engine."""
+
+    class Mod(__import__("flax").linen.Module):
+        ca: int = CA
+
+        @__import__("flax").linen.compact
+        def __call__(self, wav, n_frames=None, train=False):
+            import flax.linen as fnn
+
+            b, s = wav.shape
+            x = wav.reshape(b, n_frames, s // n_frames)
+            return fnn.Dense(self.ca, name="proj")(x)
+
+    def __init__(self):
+        self.mod = self.Mod()
+        self.vars = self.mod.init(jax.random.key(9),
+                                  jnp.zeros((1, W * UPF), jnp.float32),
+                                  n_frames=W)
+
+    def host_features(self, wav: np.ndarray) -> np.ndarray:
+        n = len(wav) // UPF
+        out = self.mod.apply(self.vars, jnp.asarray(wav[None, :n * UPF]),
+                             n_frames=n)
+        return np.asarray(out[0])
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    return _FrameLocalFrontend()
+
+
+def raw_engine(stages, frontend, **kw):
+    kw.setdefault("max_batch", 1)
+    kw.setdefault("sr", SR)
+    return make_engine(stages, frontend=(frontend.mod, frontend.vars),
+                       fps=FPS, **kw)
+
+
+class TestRawAudioServing:
+    def test_matches_feature_mode(self, stages, solo_eng, frontend, rng):
+        """Raw-PCM sessions (frontend on device) == feature sessions fed
+        the same frontend's host-computed features."""
+        eng = raw_engine(stages, frontend)
+        for t_frames in (10, W, 45):
+            wav = rng.normal(size=(t_frames * UPF,)).astype(np.float32) * 0.1
+            sid = eng.create_session(speaker=1, seed=3)
+            parts = []
+            for lo in range(0, len(wav), 77):
+                parts.append(eng.feed(sid, wav[lo:lo + 77]))
+            parts.append(eng.flush(sid))
+            raw_out = np.concatenate(parts, axis=0)
+
+            feats = frontend.host_features(wav)
+            ref_out = solo_run(solo_eng, seed=3, aud_np=feats, speaker=1)
+            assert raw_out.shape == ref_out.shape == (t_frames, CM)
+            np.testing.assert_allclose(raw_out, ref_out, rtol=2e-4, atol=2e-4)
+
+    def test_fractional_frame_truncation(self, stages, frontend, rng):
+        """Samples that don't fill a whole frame are dropped (floor), like
+        the offline feature fn's int(S/sr*fps)."""
+        eng = raw_engine(stages, frontend)
+        wav = rng.normal(size=(7 * UPF + 4,)).astype(np.float32)
+        sid = eng.create_session()
+        eng.feed(sid, wav)
+        out = eng.flush(sid)
+        assert out.shape == (7, CM)
+
+    def test_int16_wire(self, stages, frontend, rng):
+        """wav_dtype=int16 halves the upload; output within quantization
+        tolerance of the f32 engine."""
+        wav = (rng.normal(size=(30 * UPF,)) * 0.2).astype(np.float32)
+        f32_eng = raw_engine(stages, frontend)
+        sid = f32_eng.create_session(seed=4)
+        a = np.concatenate([f32_eng.feed(sid, wav), f32_eng.flush(sid)], 0)
+
+        i16_eng = raw_engine(stages, frontend, wav_dtype=np.int16)
+        sid = i16_eng.create_session(seed=4)
+        # feed pre-quantized PCM just like a wire client would
+        pcm = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
+        b = np.concatenate([i16_eng.feed(sid, pcm), i16_eng.flush(sid)], 0)
+        assert a.shape == b.shape == (30, CM)
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-3)
+
+    def test_batched_raw_equals_solo(self, stages, frontend, rng):
+        eng = raw_engine(stages, frontend, max_batch=4)
+        solo = raw_engine(stages, frontend)
+        wavs = {s: rng.normal(size=(t * UPF,)).astype(np.float32) * 0.1
+                for s, t in ((21, 30), (22, 18))}
+        sids = {s: eng.create_session(seed=s) for s in wavs}
+        for s, wav in wavs.items():
+            eng.feed(sids[s], wav, pump=False)
+        eng.pump_all()
+        for s, wav in wavs.items():
+            got = np.concatenate([eng.poll(sids[s]), eng.flush(sids[s])], 0)
+            sid2 = solo.create_session(seed=s)
+            want = np.concatenate([solo.feed(sid2, wav),
+                                   solo.flush(sid2)], 0)
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_rejects_bad_geometry_and_shapes(self, stages, frontend):
+        with pytest.raises(ValueError, match="whole samples"):
+            raw_engine(stages, frontend, sr=161)
+        eng = raw_engine(stages, frontend)
+        sid = eng.create_session()
+        with pytest.raises(ValueError, match="waveform"):
+            eng.feed(sid, np.zeros((5, CA), np.float32))
+
+
+class TestEmitDtype:
+    def test_f16_transfer_close_to_f32(self, stages, solo_eng, rng):
+        eng = make_engine(stages, max_batch=1, emit_dtype=jnp.float16)
+        aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
+        got = solo_run(eng, seed=6, aud_np=aud)
+        want = solo_run(solo_eng, seed=6, aud_np=aud)
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
