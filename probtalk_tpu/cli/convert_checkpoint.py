@@ -3,7 +3,9 @@
     python -m probtalk_tpu.cli.convert_checkpoint \
         --torch_ckpt experiments/.../ckpt-99.pth --stage vqt --out ckpt_dir
 
-Stages: vqt (s2g_body_vqt), predictor, refiner, legacy_vq (s2g_body_vq).
+Stages: vqt (s2g_body_vqt), predictor, refiner, legacy_vq (s2g_body_vq),
+wav2vec2 / hubert (a HuggingFace ``*Model`` state dict -> the flax
+acoustic frontend, e.g. for ``cli/serve.py --pcm --w2v_ckpt``).
 The converted variables load into the matching probtalk_tpu stage; golden
 parity of the conversion is enforced by tests/test_torch_parity*.py.
 """
@@ -18,6 +20,22 @@ def convert(torch_ckpt: str, stage: str, out_dir: str, groups: int = 4):
     import jax
     import orbax.checkpoint as ocp
     from probtalk_tpu.convert import torch_checkpoint as tc
+
+    if stage in ("wav2vec2", "hubert"):
+        import torch
+
+        from probtalk_tpu.audio.wav2vec2 import convert_hf_wav2vec2
+
+        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        variables = convert_hf_wav2vec2(
+            sd, heads=16 if stage == "hubert" else 12)
+        path = os.path.abspath(out_dir)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "variables"), variables)
+        ckptr.wait_until_finished()
+        print(f"converted {stage} -> {path}/variables")
+        return variables
 
     gen = tc.load_reference_checkpoint(torch_ckpt)
     if stage == "vqt":
@@ -44,7 +62,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--stage", required=True,
-                   choices=["vqt", "predictor", "refiner", "legacy_vq"])
+                   choices=["vqt", "predictor", "refiner", "legacy_vq",
+                            "wav2vec2", "hubert"])
     p.add_argument("--out", required=True)
     p.add_argument("--groups", type=int, default=4)
     args = p.parse_args(argv)

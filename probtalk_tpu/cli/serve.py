@@ -22,8 +22,16 @@ import numpy as np
 
 def build_engine(config, norm_stats_path: str, vq_path=None,
                  predictor_path=None, refiner_path=None, max_batch: int = 8,
-                 max_sessions=None, raw: bool = False, seed: int = 0):
-    """Stages via the demo's builder; returns a ready ServingEngine."""
+                 max_sessions=None, raw: bool = False, seed: int = 0,
+                 pcm: bool = False, w2v_ckpt=None, wav_int16: bool = False,
+                 emit_f16: bool = False):
+    """Stages via the demo's builder; returns a ready ServingEngine.
+
+    pcm=True serves raw 16 kHz audio: the Wav2Vec2 (50->30 fps) frontend
+    runs on device inside the batched window program. ``w2v_ckpt`` is a
+    converted HF checkpoint (.npz of convert_hf_wav2vec2 output); without
+    one the frontend is RANDOM-INIT (shape-complete only) and a warning is
+    printed — the reference mount ships no pretrained weights."""
     from probtalk_tpu.cli.demo import build_pipeline
     from probtalk_tpu.serve.engine import ServingEngine
 
@@ -51,11 +59,37 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
             full = body_parts.part2full(aa[None])[0]
             return np.asarray(jnp.concatenate([full, expr], -1))
 
+    kw = {}
+    if pcm:
+        import jax
+        import jax.numpy as jnp
+
+        from probtalk_tpu.audio.wav2vec2 import Wav2Vec2Encoder
+
+        w2v = Wav2Vec2Encoder()
+        if w2v_ckpt:
+            import os as _os
+
+            import orbax.checkpoint as ocp
+
+            path = _os.path.join(_os.path.abspath(w2v_ckpt), "variables")
+            w2v_vars = ocp.StandardCheckpointer().restore(path)
+        else:
+            print("WARNING: --pcm without --w2v_ckpt: Wav2Vec2 frontend is "
+                  "random-init (shape-complete only)")
+            w2v_vars = jax.jit(lambda r, x: w2v.init(r, x, n_frames=30))(
+                jax.random.key(seed + 11), jnp.zeros((1, 16000), jnp.float32))
+        kw.update(frontend=(w2v, w2v_vars),
+                  wav_dtype=np.int16 if wav_int16 else np.float32)
+    if emit_f16:
+        import jax.numpy as jnp
+
+        kw["emit_dtype"] = jnp.float16
     return ServingEngine(
         pipe.vq_model, pipe.vq_variables, pipe.predictor_stage,
         pipe.predictor_state, pipe.refiner_stage, pipe.refiner_state,
         window=pipe.window, overlap=pipe.overlap, max_batch=max_batch,
-        max_sessions=max_sessions, postprocess=postprocess)
+        max_sessions=max_sessions, postprocess=postprocess, **kw)
 
 
 def main(argv=None):
@@ -76,6 +110,16 @@ def main(argv=None):
     p.add_argument("--raw", action="store_true",
                    help="emit normalized fbhe motion instead of "
                         "axis-angle + expression")
+    p.add_argument("--pcm", action="store_true",
+                   help="serve raw 16 kHz audio: run the Wav2Vec2 frontend "
+                        "on device inside the batched window program")
+    p.add_argument("--w2v_ckpt", default=None,
+                   help="converted Wav2Vec2 checkpoint dir "
+                        "(cli/convert_checkpoint --stage wav2vec2)")
+    p.add_argument("--wav_int16", action="store_true",
+                   help="int16 PCM wire (halves the audio upload)")
+    p.add_argument("--emit_f16", action="store_true",
+                   help="float16 device->host output transfer")
     args = p.parse_args(argv)
 
     config = load_config(args.config_file)
@@ -86,7 +130,8 @@ def main(argv=None):
         config, norm_stats, vq_path=args.model_path, predictor_path=body[0],
         refiner_path=body[1] if len(body) > 1 else None,
         max_batch=args.max_batch, max_sessions=args.max_sessions,
-        raw=args.raw)
+        raw=args.raw, pcm=args.pcm, w2v_ckpt=args.w2v_ckpt,
+        wav_int16=args.wav_int16, emit_f16=args.emit_f16)
     server = MotionServer(engine, host=args.host, port=args.port,
                           pump_interval=args.pump_interval).start()
     print(f"serving on http://{args.host}:{server.port} "
