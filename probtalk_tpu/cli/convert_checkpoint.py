@@ -28,8 +28,9 @@ def convert(torch_ckpt: str, stage: str, out_dir: str, groups: int = 4):
 
         sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
         sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-        variables = convert_hf_wav2vec2(
-            sd, heads=16 if stage == "hubert" else 12)
+        # both families use 64-d heads: base 768/12, large 1024/16
+        dim = int(sd["feature_projection.projection.bias"].shape[0])
+        variables = convert_hf_wav2vec2(sd, heads=dim // 64)
         path = os.path.abspath(out_dir)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, "variables"), variables)
@@ -59,6 +60,12 @@ def convert(torch_ckpt: str, stage: str, out_dir: str, groups: int = 4):
 
 
 def main(argv=None):
+    # checkpoint conversion is a host-only transform: pin CPU so the
+    # per-tensor device_puts/orbax fetch never ride the TPU tunnel (and
+    # never contend for the single-holder TPU with a live train/serve)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--stage", required=True,

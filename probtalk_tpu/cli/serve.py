@@ -23,14 +23,15 @@ import numpy as np
 def build_engine(config, norm_stats_path: str, vq_path=None,
                  predictor_path=None, refiner_path=None, max_batch: int = 8,
                  max_sessions=None, raw: bool = False, seed: int = 0,
-                 pcm: bool = False, w2v_ckpt=None, wav_int16: bool = False,
-                 emit_f16: bool = False):
+                 pcm: bool = False, w2v_ckpt=None, w2v_arch: str = "wav2vec2",
+                 wav_int16: bool = False, emit_f16: bool = False):
     """Stages via the demo's builder; returns a ready ServingEngine.
 
-    pcm=True serves raw 16 kHz audio: the Wav2Vec2 (50->30 fps) frontend
-    runs on device inside the batched window program. ``w2v_ckpt`` is a
-    converted HF checkpoint (.npz of convert_hf_wav2vec2 output); without
-    one the frontend is RANDOM-INIT (shape-complete only) and a warning is
+    pcm=True serves raw 16 kHz audio: the acoustic frontend (w2v_arch
+    'wav2vec2' base or 'hubert' large) runs on device inside the batched
+    window program. ``w2v_ckpt`` is the orbax dir written by
+    ``cli/convert_checkpoint --stage wav2vec2|hubert``; without one the
+    frontend is RANDOM-INIT (shape-complete only) and a warning is
     printed — the reference mount ships no pretrained weights."""
     from probtalk_tpu.cli.demo import build_pipeline
     from probtalk_tpu.serve.engine import ServingEngine
@@ -66,7 +67,12 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
 
         from probtalk_tpu.audio.wav2vec2 import Wav2Vec2Encoder
 
-        w2v = Wav2Vec2Encoder()
+        if w2v_arch == "hubert":
+            from probtalk_tpu.audio.hubert import HubertEncoder
+
+            w2v = HubertEncoder()
+        else:
+            w2v = Wav2Vec2Encoder()
         if w2v_ckpt:
             import os as _os
 
@@ -114,8 +120,11 @@ def main(argv=None):
                    help="serve raw 16 kHz audio: run the Wav2Vec2 frontend "
                         "on device inside the batched window program")
     p.add_argument("--w2v_ckpt", default=None,
-                   help="converted Wav2Vec2 checkpoint dir "
-                        "(cli/convert_checkpoint --stage wav2vec2)")
+                   help="converted frontend checkpoint dir "
+                        "(cli/convert_checkpoint --stage wav2vec2|hubert)")
+    p.add_argument("--w2v_arch", default="wav2vec2",
+                   choices=["wav2vec2", "hubert"],
+                   help="frontend architecture the checkpoint matches")
     p.add_argument("--wav_int16", action="store_true",
                    help="int16 PCM wire (halves the audio upload)")
     p.add_argument("--emit_f16", action="store_true",
@@ -131,7 +140,8 @@ def main(argv=None):
         refiner_path=body[1] if len(body) > 1 else None,
         max_batch=args.max_batch, max_sessions=args.max_sessions,
         raw=args.raw, pcm=args.pcm, w2v_ckpt=args.w2v_ckpt,
-        wav_int16=args.wav_int16, emit_f16=args.emit_f16)
+        w2v_arch=args.w2v_arch, wav_int16=args.wav_int16,
+        emit_f16=args.emit_f16)
     server = MotionServer(engine, host=args.host, port=args.port,
                           pump_interval=args.pump_interval).start()
     print(f"serving on http://{args.host}:{server.port} "

@@ -82,22 +82,29 @@ class EngineBusy(RuntimeError):
 
 
 class _BatchOut:
-    """One device call's refined windows, fetched to host at most once."""
+    """One device call's refined windows, fetched to host at most once.
 
-    __slots__ = ("dev", "np")
+    Sessions batched together share one record; ``host()`` carries its own
+    lock because co-batched sessions materialize from different handler
+    threads (flush() runs outside the engine lock)."""
+
+    __slots__ = ("dev", "np", "t", "_lock")
 
     def __init__(self, dev):
         self.dev = dev
         self.np = None
+        self.t = int(dev.shape[1])
+        self._lock = threading.Lock()
 
     def host(self) -> np.ndarray:
-        if self.np is None:
-            arr = np.asarray(self.dev)
-            if arr.dtype != np.float32:
-                arr = arr.astype(np.float32)
-            self.np = arr
-            self.dev = None
-        return self.np
+        with self._lock:
+            if self.np is None:
+                arr = np.asarray(self.dev)
+                if arr.dtype != np.float32:
+                    arr = arr.astype(np.float32)
+                self.np = arr
+                self.dev = None
+            return self.np
 
 
 @dataclass
@@ -270,7 +277,9 @@ class ServingEngine:
                 feats = feats.astype(np.float32) / 32768.0
             elif feats.dtype != np.int16 and self.wav_dtype == np.int16:
                 feats = np.clip(feats * 32768.0, -32768, 32767).astype(np.int16)
-            feats = feats.astype(self.wav_dtype)[:, None]
+            elif feats.dtype != self.wav_dtype:
+                feats = feats.astype(self.wav_dtype)
+            feats = feats[:, None]
         else:
             feats = feats.astype(np.float32)
             if feats.ndim != 2:
@@ -371,8 +380,7 @@ class ServingEngine:
     @staticmethod
     def _chunk_len(chunk) -> int:
         rec, _lane, skip = chunk
-        return rec.dev.shape[1] - skip if rec.np is None \
-            else rec.np.shape[1] - skip
+        return rec.t - skip
 
     @staticmethod
     def _materialize(chunk) -> np.ndarray:

@@ -120,8 +120,14 @@ def _make_handler(server: MotionServer):
                         shape = tuple(
                             int(x) for x in
                             self.headers.get("X-Shape", "").split(","))
-                        dt = np.int16 if self.headers.get(
-                            "X-Dtype") == "int16" else np.float32
+                        if self.headers.get("X-Dtype") == "int16":
+                            if not engine.raw_audio:
+                                raise ValueError(
+                                    "X-Dtype: int16 is only valid for "
+                                    "raw-audio (--pcm) engines")
+                            dt = np.int16
+                        else:
+                            dt = np.float32
                         feats = np.frombuffer(
                             self._read_body(), dt).reshape(shape)
                         engine.feed(sid, feats, pump=False)
