@@ -24,7 +24,8 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
                  predictor_path=None, refiner_path=None, max_batch: int = 8,
                  max_sessions=None, raw: bool = False, seed: int = 0,
                  pcm: bool = False, w2v_ckpt=None, w2v_arch: str = "wav2vec2",
-                 wav_int16: bool = False, emit_f16: bool = False):
+                 wav_int16: bool = False, emit_f16: bool = False,
+                 idle_ttl=None):
     """Stages via the demo's builder; returns a ready ServingEngine.
 
     pcm=True serves raw 16 kHz audio: the acoustic frontend (w2v_arch
@@ -95,7 +96,8 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
         pipe.vq_model, pipe.vq_variables, pipe.predictor_stage,
         pipe.predictor_state, pipe.refiner_stage, pipe.refiner_state,
         window=pipe.window, overlap=pipe.overlap, max_batch=max_batch,
-        max_sessions=max_sessions, postprocess=postprocess, **kw)
+        max_sessions=max_sessions, postprocess=postprocess,
+        idle_ttl=idle_ttl, **kw)
 
 
 def main(argv=None):
@@ -112,6 +114,9 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_sessions", type=int, default=None,
                    help="admission limit; extra session creates get 503")
+    p.add_argument("--idle_ttl", type=float, default=300.0,
+                   help="seconds of inactivity before an unflushed session "
+                        "is garbage-collected (frees its max_sessions slot)")
     p.add_argument("--pump_interval", type=float, default=0.01)
     p.add_argument("--raw", action="store_true",
                    help="emit normalized fbhe motion instead of "
@@ -141,7 +146,7 @@ def main(argv=None):
         max_batch=args.max_batch, max_sessions=args.max_sessions,
         raw=args.raw, pcm=args.pcm, w2v_ckpt=args.w2v_ckpt,
         w2v_arch=args.w2v_arch, wav_int16=args.wav_int16,
-        emit_f16=args.emit_f16)
+        emit_f16=args.emit_f16, idle_ttl=args.idle_ttl)
     server = MotionServer(engine, host=args.host, port=args.port,
                           pump_interval=args.pump_interval).start()
     print(f"serving on http://{args.host}:{server.port} "

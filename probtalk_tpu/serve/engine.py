@@ -113,6 +113,7 @@ class _Session:
     key: jax.Array
     feats: List[np.ndarray] = field(default_factory=list)
     n_feat: int = 0                          # true (unpadded) input units fed
+    last_active: float = 0.0                 # monotonic time of last feed/poll
     ready_since: Optional[float] = None      # when the next window got ready
     windows_done: int = 0
     ctx_tail: Optional[np.ndarray] = None    # (overlap, C) trailing context
@@ -145,7 +146,8 @@ class ServingEngine:
                  mesh=None,
                  postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None,
                  frontend: Optional[tuple] = None, sr: int = 16000,
-                 fps: int = 30, wav_dtype=np.float32, emit_dtype=None):
+                 fps: int = 30, wav_dtype=np.float32, emit_dtype=None,
+                 idle_ttl: Optional[float] = None):
         self.window = window
         self.overlap = overlap
         self.step = window - overlap
@@ -173,6 +175,9 @@ class ServingEngine:
             self._upf = self._fpu = 1
         self.sr, self.fps = sr, fps
         self.emit_dtype = emit_dtype
+        # abandoned-session GC: a client that stops feeding without flush
+        # would otherwise hold its buffers (and a max_sessions slot) forever
+        self.idle_ttl = idle_ttl
         self._variables = (
             {"params": pred_state.params, **pred_state.mutables},
             {"params": ref_state.params, **ref_state.mutables},
@@ -259,7 +264,8 @@ class ServingEngine:
                     f"{len(self._sessions)}/{self.max_sessions} sessions")
             sid = f"s{next(self._ids)}"
             self._sessions[sid] = _Session(
-                speaker=int(speaker), key=jax.random.key(seed))
+                speaker=int(speaker), key=jax.random.key(seed),
+                last_active=time.monotonic())
             return sid
 
     def feed(self, sid: str, feats: np.ndarray, pump: bool = True) -> np.ndarray:
@@ -286,6 +292,7 @@ class ServingEngine:
                 raise ValueError(f"feats must be (T, aud_dim), got {feats.shape}")
         with self._lock:
             s = self._get(sid)
+            s.last_active = time.monotonic()
             s.feats.append(feats)
             s.n_feat += feats.shape[0]
             if s.ready_since is None and self._ready(s):
@@ -300,6 +307,7 @@ class ServingEngine:
         With a timeout, blocks until new frames (or the timeout) arrive."""
         with self._lock:
             s = self._get(sid)
+            s.last_active = time.monotonic()
             if s.pending:
                 return self._pop(s)
             ev = s.new_frames
@@ -315,6 +323,14 @@ class ServingEngine:
         """Run the micro-batching pump over every ready session (the server
         pump thread's entry point). Returns the number of windows run."""
         with self._lock:
+            if self.idle_ttl is not None:
+                cut = time.monotonic() - self.idle_ttl
+                for sid in [k for k, s in self._sessions.items()
+                            if s.last_active < cut]:
+                    s = self._sessions.pop(sid)
+                    s.closed = True
+                    s.new_frames.set()       # unblock any waiting poll
+                    self.stats["expired"] = self.stats.get("expired", 0) + 1
             before = self.stats["windows"]
             self._pump()
             return self.stats["windows"] - before

@@ -403,3 +403,30 @@ class TestEmitDtype:
         want = solo_run(solo_eng, seed=6, aud_np=aud)
         assert got.dtype == np.float32
         np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+
+
+class TestIdleGC:
+    def test_abandoned_session_expires(self, stages, rng):
+        eng = make_engine(stages, max_batch=1, max_sessions=1,
+                          idle_ttl=0.05)
+        import time as _time
+
+        sid = eng.create_session()
+        eng.feed(sid, rng.normal(size=(3, CA)).astype(np.float32),
+                 pump=False)
+        _time.sleep(0.08)
+        eng.pump_all()                       # GC sweep
+        assert eng.stats.get("expired") == 1
+        assert eng.active_sessions() == 0
+        with pytest.raises(SessionClosed):
+            eng.poll(sid)
+        eng.flush(eng.create_session())      # slot freed for a new session
+
+    def test_active_session_survives(self, stages, rng):
+        eng = make_engine(stages, max_batch=1, idle_ttl=10.0)
+        sid = eng.create_session()
+        out = eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32))
+        eng.pump_all()
+        assert out.shape == (W, CM)
+        assert eng.active_sessions() == 1
+        eng.flush(sid)
