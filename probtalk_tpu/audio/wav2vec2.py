@@ -71,6 +71,45 @@ class _PatchConv(nn.Module):
         return y
 
 
+class _FoldConv(nn.Module):
+    """Stride-2 VALID conv as phase-folded matmuls: x (B, T, C) reshaped to
+    (B, T/2, 2C) turns a k=2 conv into ONE plain matmul and a k=3 conv into
+    two (the second on the one-row-shifted view) — no im2col patch blowup,
+    and plain dots reach the full bf16 MXU rate that XLA's conv lowering
+    does not (W2V_FE_BENCH.json). Param tree identical to ``nn.Conv``."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.stride == 2 and self.kernel in (2, 3), \
+            (self.stride, self.kernel)
+        b, t, c = x.shape
+        k, o = self.kernel, self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(), (k, c, o))
+        t_out = (t - k) // 2 + 1
+        # rows of the folded view needed: t_out (+1 for the k=3 tail tap)
+        rows = t_out + (1 if k == 3 else 0)
+        xp = jnp.pad(x, ((0, 0), (0, 2 * rows - t), (0, 0))) \
+            if 2 * rows > t else x[:, :2 * rows]
+        xr = xp.reshape(b, rows, 2 * c)
+        if self.dtype is not None:
+            xr = xr.astype(self.dtype)
+        w01 = w[:2].reshape(2 * c, o).astype(xr.dtype)   # [W0; W1]
+        y = xr[:, :t_out] @ w01
+        if k == 3:
+            w2 = w[2].astype(xr.dtype)                   # tap x[2t+2]
+            y = y + xr[:, 1:t_out + 1, :c] @ w2
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (o,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class FeatureExtractor(nn.Module):
     """Raw waveform (B, S) -> (B, S/320, 512).
 
@@ -81,13 +120,27 @@ class FeatureExtractor(nn.Module):
     dtype: Optional[jnp.dtype] = None   # bf16 compute option (norms stay f32)
     norm_mode: str = "group"
     conv_bias: bool = False
-    impl: str = "conv"                  # 'conv' (XLA, fastest) | 'matmul'
+    # Conv-formulation study (W2V_FE_BENCH.json, real TPU, B=16 x 6 s):
+    # 'conv':   XLA convs — f32-exact AND the fastest (8.8 ms); the default
+    # 'matmul': im2col matmuls — 2x slower (materialized patches, HBM-bound)
+    # 'fold':   phase-folded bf16 matmuls (k=2 -> one dot, k=3 -> two) —
+    #           1.5x slower despite bf16 MXU rate (relayout-bound)
+    # A fused Pallas conv+GELU kernel was also measured (16.7 ms, the
+    # sublane-strided phase split relayouts) and removed. XLA's 1-D conv
+    # lowering wins on this stack; the alternates stay as tested ablations.
+    impl: str = "conv"
 
     @nn.compact
     def __call__(self, x):
         h = x[..., None]
         for i, (dim, k, s) in enumerate(_CONV_LAYERS):
-            if self.impl == "matmul":
+            if self.impl == "fold" and i > 0:
+                # bf16 compute: the point of the fold path is the bf16 MXU
+                # rate; norms/output remain f32 at the caller
+                h = _FoldConv(dim, k, s, use_bias=self.conv_bias,
+                              dtype=self.dtype or jnp.bfloat16,
+                              name=f"conv_{i}")(h)
+            elif self.impl == "matmul":
                 h = _PatchConv(dim, k, s, use_bias=self.conv_bias,
                                dtype=self.dtype, name=f"conv_{i}")(h)
             else:

@@ -50,30 +50,35 @@ def main():
 
     fe_ref = FeatureExtractor(impl="conv")
     fe_vars = jax.jit(fe_ref.init)(jax.random.key(0), wav[:1])
-    for impl in ("conv", "matmul"):
-        for dt, tag in ((None, "f32"), (jnp.bfloat16, "bf16")):
-            fe = FeatureExtractor(impl=impl, dtype=dt)
-            f = jax.jit(lambda v, x, fe=fe: fe.apply(v, x))
-            res[f"fe_{impl}_{tag}"] = round(timeit(f, fe_vars, wav), 3)
-            print(f"fe {impl} {tag}: {res[f'fe_{impl}_{tag}']} ms", flush=True)
+    for impl, dt, tag in (("conv", None, "f32"), ("conv", jnp.bfloat16, "bf16"),
+                          ("matmul", None, "f32"),
+                          ("matmul", jnp.bfloat16, "bf16"),
+                          ("fold", None, "bf16")):
+        fe = FeatureExtractor(impl=impl, dtype=dt)
+        f = jax.jit(lambda v, x, fe=fe: fe.apply(v, x))
+        res[f"fe_{impl}_{tag}"] = round(timeit(f, fe_vars, wav), 3)
+        print(f"fe {impl} {tag}: {res[f'fe_{impl}_{tag}']} ms", flush=True)
 
     enc_ref = Wav2Vec2Encoder(fe_impl="conv")
     enc_vars = jax.jit(lambda r, x: enc_ref.init(r, x, n_frames=NF))(
         jax.random.key(0), wav[:1])
-    for impl in ("conv", "matmul"):
-        for dt, tag in ((None, "f32"), (jnp.bfloat16, "bf16")):
-            enc = Wav2Vec2Encoder(fe_impl=impl, dtype=dt)
-            f = jax.jit(lambda v, x, enc=enc: enc.apply(v, x, n_frames=NF))
-            res[f"full_{impl}_{tag}"] = round(timeit(f, enc_vars, wav), 3)
-            print(f"full {impl} {tag}: {res[f'full_{impl}_{tag}']} ms",
-                  flush=True)
+    for impl, dt, tag in (("conv", None, "f32"), ("conv", jnp.bfloat16, "bf16"),
+                          ("matmul", None, "f32"),
+                          ("fold", None, "fe-bf16"),
+                          ("fold", jnp.bfloat16, "bf16")):
+        enc = Wav2Vec2Encoder(fe_impl=impl, dtype=dt)
+        f = jax.jit(lambda v, x, enc=enc: enc.apply(v, x, n_frames=NF))
+        res[f"full_{impl}_{tag}"] = round(timeit(f, enc_vars, wav), 3)
+        print(f"full {impl} {tag}: {res[f'full_{impl}_{tag}']} ms",
+              flush=True)
 
-    # numerical agreement of the two impls on device
+    # numerical agreement on device vs the f32 conv reference
     a = jax.jit(lambda v, x: Wav2Vec2Encoder(fe_impl="conv").apply(
         v, x, n_frames=NF))(enc_vars, wav)
-    b = jax.jit(lambda v, x: Wav2Vec2Encoder(fe_impl="matmul").apply(
-        v, x, n_frames=NF))(enc_vars, wav)
-    res["max_abs_diff"] = float(jnp.abs(a - b).max())
+    for impl in ("matmul", "fold"):
+        b = jax.jit(lambda v, x, impl=impl: Wav2Vec2Encoder(fe_impl=impl).apply(
+            v, x, n_frames=NF))(enc_vars, wav)
+        res[f"max_abs_diff_{impl}"] = float(jnp.abs(a - b).max())
     res["out_scale"] = float(jnp.abs(a).mean())
     print(json.dumps(res), flush=True)
     with open("/root/repo/W2V_FE_BENCH.json", "w") as f:
