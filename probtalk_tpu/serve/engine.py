@@ -110,9 +110,14 @@ class _BatchOut:
 @dataclass
 class _Session:
     speaker: int
-    key: jax.Array
+    # PRNG state as HOST key data (uint32 rows): the split chain runs
+    # inside the compiled window step (wrap -> split -> key_data), so the
+    # hot path issues zero eager per-session device ops while staying
+    # bitwise-identical to the offline generator's host-side split chain
+    key_data: np.ndarray = None
     feats: List[np.ndarray] = field(default_factory=list)
     n_feat: int = 0                          # true (unpadded) input units fed
+    trimmed: int = 0                         # input units dropped from front
     last_active: float = 0.0                 # monotonic time of last feed/poll
     ready_since: Optional[float] = None      # when the next window got ready
     windows_done: int = 0
@@ -124,6 +129,9 @@ class _Session:
     closed: bool = False
 
     def buffered(self) -> np.ndarray:
+        """Un-consumed input units (absolute unit ``trimmed + i`` lives at
+        row ``i``): windows already run are dropped eagerly, so a long
+        stream holds only the current window tail, not its full history."""
         if len(self.feats) > 1:
             self.feats = [np.concatenate(self.feats, axis=0)]
         return self.feats[0] if self.feats else np.zeros((0, 0), np.float32)
@@ -160,6 +168,7 @@ class ServingEngine:
                              f"the mesh data axis ({self._granule})")
         self.postprocess = postprocess
         self.mot_dim = pred_stage.mot_dim
+        self.aud_dim = pred_stage.aud_dim
         self.raw_audio = frontend is not None
         self.wav_dtype = np.dtype(wav_dtype)
         if self.raw_audio:
@@ -215,9 +224,15 @@ class ServingEngine:
         int16_in = self.raw_audio and self.wav_dtype == np.int16
         emit_dtype = self.emit_dtype
 
-        def one(variables, key, aud_w, tail, first, n_valid, speaker):
-            # batch-1 window; vmapped below so every lane owns its key
+        def one(variables, kd, aud_w, tail, first, n_valid, speaker):
+            # batch-1 window; vmapped below so every lane owns its key.
+            # The key arrives as raw uint32 key data and the offline
+            # schedule's split (carry first output, consume second —
+            # streaming.py:55,69) happens HERE, inside the compiled
+            # program: no eager per-session split on the pump hot path,
+            # same bit-exact chain.
             pred_vars, ref_vars, vq_vars, fe_vars = variables
+            carry, key = jax.random.split(jax.random.wrap_key_data(kd))
             if fe_model is not None:
                 wav = aud_w.astype(jnp.float32)
                 if int16_in:
@@ -249,7 +264,7 @@ class ServingEngine:
                                       train=False)
             out = (ctx * mask + refined * (1.0 - mask))[0]
             emit = out if emit_dtype is None else out.astype(emit_dtype)
-            return emit, out[-ov:]
+            return emit, out[-ov:], jax.random.key_data(carry)
 
         return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0)))
 
@@ -264,7 +279,9 @@ class ServingEngine:
                     f"{len(self._sessions)}/{self.max_sessions} sessions")
             sid = f"s{next(self._ids)}"
             self._sessions[sid] = _Session(
-                speaker=int(speaker), key=jax.random.key(seed),
+                speaker=int(speaker),
+                key_data=np.asarray(
+                    jax.random.key_data(jax.random.key(seed))),
                 last_active=time.monotonic())
             return sid
 
@@ -288,8 +305,12 @@ class ServingEngine:
             feats = feats[:, None]
         else:
             feats = feats.astype(np.float32)
-            if feats.ndim != 2:
-                raise ValueError(f"feats must be (T, aud_dim), got {feats.shape}")
+            if feats.ndim != 2 or feats.shape[1] != self.aud_dim:
+                # validated HERE, per client, so a wrong-shaped feed is a
+                # 400 for that caller — never a poisoned shared batch that
+                # would kill the pump for every session
+                raise ValueError(f"feats must be (T, {self.aud_dim}), "
+                                 f"got {feats.shape}")
         with self._lock:
             s = self._get(sid)
             s.last_active = time.monotonic()
@@ -297,10 +318,11 @@ class ServingEngine:
             s.n_feat += feats.shape[0]
             if s.ready_since is None and self._ready(s):
                 s.ready_since = time.perf_counter()
-            if pump:
-                self._pump()
-                return self._pop(s)
-        return np.zeros((0, self.mot_dim), np.float32)
+            if not pump:
+                return np.zeros((0, self.mot_dim), np.float32)
+            self._pump()
+            chunks = self._pop_chunks(s)
+        return self._emit(chunks)       # D2H fetch OUTSIDE the engine lock
 
     def poll(self, sid: str, timeout: Optional[float] = None) -> np.ndarray:
         """Pop frames made ready by a ``pump_all()`` since the last poll.
@@ -309,15 +331,19 @@ class ServingEngine:
             s = self._get(sid)
             s.last_active = time.monotonic()
             if s.pending:
-                return self._pop(s)
-            ev = s.new_frames
+                chunks = self._pop_chunks(s)
+            else:
+                chunks, ev = None, s.new_frames
+        if chunks is not None:
+            return self._emit(chunks)
         if timeout:
             ev.wait(timeout)
         with self._lock:
             s = self._sessions.get(sid)
             if s is None:
                 raise SessionClosed(sid)
-            return self._pop(s)
+            chunks = self._pop_chunks(s)
+        return self._emit(chunks)
 
     def pump_all(self) -> int:
         """Run the micro-batching pump over every ready session (the server
@@ -349,7 +375,8 @@ class ServingEngine:
                 buf = s.buffered()
                 if buf.shape[0] == 0:
                     break
-                need = self._window_start(s.windows_done) + w_units
+                need = (self._window_start(s.windows_done) + w_units
+                        - s.trimmed)
                 if buf.shape[0] < need:
                     pad = np.repeat(buf[-1:], need - buf.shape[0], axis=0)
                     s.feats = [np.concatenate([buf, pad], axis=0)]
@@ -403,13 +430,18 @@ class ServingEngine:
         rec, lane, skip = chunk
         return rec.host()[lane, skip:]
 
-    def _pop(self, s: _Session) -> np.ndarray:
-        if not s.pending:
-            s.new_frames.clear()
-            return np.zeros((0, self.mot_dim), np.float32)
-        out = np.concatenate([self._materialize(c) for c in s.pending], axis=0)
-        s.pending = []
+    def _pop_chunks(self, s: _Session) -> list:
+        """Detach pending output records (cheap, lock held); materializing
+        them (multi-MB D2H) happens in ``_emit`` with the lock RELEASED so
+        one client's download never stalls the pump or other sessions."""
+        chunks, s.pending = s.pending, []
         s.new_frames.clear()
+        return chunks
+
+    def _emit(self, chunks: list) -> np.ndarray:
+        if not chunks:
+            return np.zeros((0, self.mot_dim), np.float32)
+        out = np.concatenate([self._materialize(c) for c in chunks], axis=0)
         return self._post(out)
 
     def _window_start(self, w_idx: int) -> int:
@@ -419,7 +451,7 @@ class ServingEngine:
 
     def _ready(self, s: _Session) -> bool:
         return (not s.closed and
-                s.buffered().shape[0]
+                s.trimmed + s.buffered().shape[0]
                 >= self._window_start(s.windows_done) + self._units(self.window))
 
     def _pump(self):
@@ -439,17 +471,16 @@ class ServingEngine:
         if self.raw_audio:
             aud = np.zeros((bucket, w_units), self.wav_dtype)
         else:
-            first_buf = self._sessions[sids[0]].buffered()
-            aud = np.zeros((bucket, w_units, first_buf.shape[-1]), np.float32)
+            aud = np.zeros((bucket, w_units, self.aud_dim), np.float32)
         tails = np.zeros((bucket, ov, c), np.float32)
         first = np.ones((bucket,), np.float32)
         n_valid = np.full((bucket,), self.window, np.int32)
         spk = np.zeros((bucket,), np.int32)
-        keys = []
+        kds = []
         for i, sid in enumerate(sids):
             s = self._sessions[sid]
-            start = self._window_start(s.windows_done)
-            win = s.buffered()[start:start + w_units]
+            rel = self._window_start(s.windows_done) - s.trimmed
+            win = s.buffered()[rel:rel + w_units]
             aud[i] = win[:, 0] if self.raw_audio else win
             if s.windows_done > 0:
                 tails[i] = s.ctx_tail
@@ -460,23 +491,23 @@ class ServingEngine:
                 self._frames_of(s.n_feat) - self.step * s.windows_done,
                 self.window), 1)
             spk[i] = s.speaker
-            # the offline schedule's split pattern: carry the first output,
-            # consume the second (streaming.py:55,69)
-            s.key, k = jax.random.split(s.key)
-            keys.append(k)
+            kds.append(s.key_data)
         for _ in range(bucket - n):      # pad rows: any key, output discarded
-            keys.append(keys[-1])
+            kds.append(kds[-1])
         t0 = time.perf_counter()
-        args = (jnp.stack(keys), jnp.asarray(aud), jnp.asarray(tails),
-                jnp.asarray(first), jnp.asarray(n_valid), jnp.asarray(spk))
+        args = (jnp.asarray(np.stack(kds)), jnp.asarray(aud),
+                jnp.asarray(tails), jnp.asarray(first), jnp.asarray(n_valid),
+                jnp.asarray(spk))
         if self.mesh is not None:        # batch rows across the data axis
             from probtalk_tpu.parallel.mesh import shard_batch
 
             args = shard_batch(args, self.mesh)
-        refined_dev, tails_dev = self._step_fn(self._variables, *args)
-        # fetching the tiny tails is the completion barrier; the full
-        # refined windows stay on device and transfer lazily at pop time
+        refined_dev, tails_dev, kd_dev = self._step_fn(self._variables, *args)
+        # fetching the tiny tails + carried key data is the completion
+        # barrier; the full refined windows stay on device and transfer
+        # lazily at pop time
         tails_np = np.asarray(tails_dev)
+        kd_np = np.asarray(kd_dev)
         now = time.perf_counter()
         rec = _BatchOut(refined_dev)
         self._batch_ms.append((now - t0) * 1e3)
@@ -487,9 +518,16 @@ class ServingEngine:
             s = self._sessions[sid]
             skip = 0 if s.windows_done == 0 else ov
             s.ctx_tail = tails_np[i]
+            s.key_data = kd_np[i]
             s.windows_done += 1
             s.emitted += self.window - skip
             s.pending.append((rec, i, skip))
+            # drop input units no later window re-reads: keeps a long-lived
+            # stream's buffer at O(window), not O(stream length)
+            drop = self._window_start(s.windows_done) - s.trimmed
+            if drop > 0:
+                s.feats = [s.buffered()[drop:]]
+                s.trimmed += drop
             self._queue_ms.append((now - (s.ready_since or t0)) * 1e3)
             s.ready_since = (now if self._ready(s) else None)
             s.new_frames.set()

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import threading
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -40,6 +41,7 @@ class MotionServer:
         self.engine = engine
         self.pump_interval = pump_interval
         self._stop = threading.Event()
+        self.pump_errors = 0
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
@@ -59,8 +61,16 @@ class MotionServer:
         self.httpd.server_close()
 
     def _pump_loop(self):
+        # the pump thread must survive ANY per-round failure: if it died,
+        # the server would keep accepting requests but never produce
+        # frames again (zombie). Errors are counted and surfaced on
+        # /healthz instead.
         while not self._stop.wait(self.pump_interval):
-            self.engine.pump_all()
+            try:
+                self.engine.pump_all()
+            except Exception:
+                self.pump_errors += 1
+                traceback.print_exc()
 
 
 def _make_handler(server: MotionServer):
@@ -100,6 +110,7 @@ def _make_handler(server: MotionServer):
                 self._json(200, {"ok": True,
                                  "sessions": engine.active_sessions(),
                                  "stats": engine.stats,
+                                 "pump_errors": server.pump_errors,
                                  "latency": engine.latency_stats()})
             else:
                 self._json(404, {"error": "not found"})

@@ -31,25 +31,34 @@ from probtalk_tpu.utils.interp import resize_time
 
 def sample_context_mask(key, bs: int, t: int, context_len: int = 30,
                         context_prob: float = 0.5, mode: str = "bank",
-                        zero_rows: int = 64):
+                        zero_rows: Optional[int] = None):
     """(bs, t, 1) masks: a random contiguous ``context_len`` window of known
     motion per sample.
 
-    mode='bank' (default, reference-exact): every row draws a window from
-    the precomputed onset-shifted bank, then the first ``zero_rows`` batch
-    rows are zeroed (predictor.py:94-96, 213-227; refiner.py:104-109, 236-
-    240). At the reference's bs=128 that unconditions exactly half the
-    batch; at bs<=64 it unconditions ALL of it — faithfully reproduced.
+    mode='bank' (default): every row draws a window from the precomputed
+    onset-shifted bank, then the first ``zero_rows`` batch rows are zeroed
+    (predictor.py:94-96, 213-227; refiner.py:104-109, 236-240 — the
+    reference literally does ``mask[:64] = 0`` on batch rows). At the
+    reference's bs=128 that unconditions exactly half the batch.
+
+    ``zero_rows=None`` (default) scales that intent to any batch:
+    ``bs // 2`` rows are zeroed — identical to the reference at bs=128,
+    and still half-unconditioned at small batches. Pass ``zero_rows=64``
+    for the literal reference constant (which unconditions ALL rows when
+    bs<=64 — the parity ablation pins this to stay bit-faithful to the
+    running torch wrappers at the campaign's bs=8).
 
     mode='bernoulli' (round-2 behavior): each row's window is active with
     probability ``context_prob`` — batch-order independent, same expected
-    context fraction at bs=128 but a different distribution at small bs.
+    context fraction as the scaled bank but i.i.d. per row.
     """
     k1, k2 = jax.random.split(key)
     start = jax.random.randint(k1, (bs, 1), 0, max(t - context_len + 1, 1))
     pos = jnp.arange(t)[None, :]
     win = (pos >= start) & (pos < start + context_len)
     if mode == "bank":
+        if zero_rows is None:
+            zero_rows = bs // 2
         active = (jnp.arange(bs) >= zero_rows)[:, None]
     elif mode == "bernoulli":
         active = jax.random.bernoulli(k2, context_prob, (bs, 1))
@@ -119,7 +128,8 @@ class PredictorStage(nn.Module):
 
 def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
                               donate: bool = True,
-                              context_mask_mode: str = "bank"):
+                              context_mask_mode: str = "bank",
+                              context_zero_rows: Optional[int] = None):
     """Jitted predictor train step.
 
     batch: {'poses_fbhe': (B,T,C), 'aud_feat': (B,T,Ca), 'speaker': (B,),
@@ -131,7 +141,8 @@ def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
         k_mask, k_net, k_drop = jax.random.split(rng, 3)
 
         if stage.motion_context:
-            mask = sample_context_mask(k_mask, bs, t, mode=context_mask_mode)
+            mask = sample_context_mask(k_mask, bs, t, mode=context_mask_mode,
+                                       zero_rows=context_zero_rows)
         else:
             mask = jnp.zeros((bs, t, 1), gt.dtype)
         masked_motion = gt * mask
@@ -258,7 +269,8 @@ class RefinerStage(nn.Module):
 
 def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
                             noise_std: float = 0.05, donate: bool = True,
-                            each_dim=None, context_mask_mode: str = "bank"):
+                            each_dim=None, context_mask_mode: str = "bank",
+                            context_zero_rows: Optional[int] = None):
     """Jitted refiner train step (reference refiner.py:183-311):
     VQ-reconstruct GT, add gaussian noise, blend with GT context, regress."""
     def loss_fn(params, mutables, vq_vars, batch, rng):
@@ -266,7 +278,8 @@ def make_refiner_train_step(stage: RefinerStage, vq_model, vq_variables,
         bs, t, _ = gt.shape
         k_mask, k_noise, k_drop = jax.random.split(rng, 3)
 
-        mask = sample_context_mask(k_mask, bs, t, mode=context_mask_mode)
+        mask = sample_context_mask(k_mask, bs, t, mode=context_mask_mode,
+                                   zero_rows=context_zero_rows)
 
         vq_poses, _, _ = vq_model.apply(vq_vars, gt, train=False)
         vq_poses = resize_time(vq_poses, t)

@@ -139,14 +139,21 @@ def main():
     log(f"batch producer: {producer}")
 
     def batches(seed):
+        """Yields THUNKS: resume skips replay only the (host-side, numpy)
+        index stream — the device gather / batch build happens at call
+        time, so fast-forwarding 19k steps costs microseconds each, not a
+        tunnel round trip each."""
         while True:
             if producer == "device":
-                yield from dds.fbhe_batches(BS, seed=seed)
+                for cids, starts in dds.host.index_batches(BS, seed=seed):
+                    yield lambda c=cids, s=starts: dds.gather(c, s)
             elif producer == "native":
-                yield from NativeLoader(packed, window=WINDOW, stride=6,
-                                        batch=BS, seed=seed)
+                for b in NativeLoader(packed, window=WINDOW, stride=6,
+                                      batch=BS, seed=seed):
+                    yield lambda b=b: b
             else:
-                yield from ds.fbhe_batches(BS, seed=seed)
+                for b in ds.fbhe_batches(BS, seed=seed):
+                    yield lambda b=b: b
             seed += 1
 
     from probtalk_tpu.models.vqvae import VQVAE
@@ -172,13 +179,13 @@ def main():
     if start < STEPS_VQ:
         step = make_vq_train_step(vq, donate=False)
         it, key = batches(0), jax.random.key(1)
-        skipped = 0
         t0 = time.time()
         for i in range(STEPS_VQ):
-            key, k = jax.random.split(key)
-            b = next(it)
+            thunk = next(it)
             if i < start:
                 continue
+            k = jax.random.fold_in(key, i)   # O(1) resume, no split chain
+            b = thunk()
             vq_state, m = step(
                 vq_state, {"poses_fbhe": jnp.asarray(b["poses_fbhe"])}, k)
             if i % LOG_EVERY == 0 or i == STEPS_VQ - 1:
@@ -218,10 +225,11 @@ def main():
         it, key = batches(100), jax.random.key(3)
         t0 = time.time()
         for i in range(STEPS_PRED):
-            key, k = jax.random.split(key)
-            b = next(it)
+            thunk = next(it)
             if i < start:
                 continue
+            k = jax.random.fold_in(key, i)
+            b = thunk()
             # reference curriculum mapped onto the step budget
             er = np.float32(min(max(int(i * 100 / STEPS_PRED) / 99, 0.5), 1))
             batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
@@ -284,10 +292,11 @@ def main():
         it, key = batches(200), jax.random.key(5)
         t0 = time.time()
         for i in range(STEPS_REF):
-            key, k = jax.random.split(key)
-            b = next(it)
+            thunk = next(it)
             if i < start:
                 continue
+            k = jax.random.fold_in(key, i)
+            b = thunk()
             batch = {"poses_fbhe": jnp.asarray(b["poses_fbhe"]),
                      "aud_feat": jnp.asarray(b["aud_feat"]),
                      "speaker": jnp.asarray(b["speaker"])}

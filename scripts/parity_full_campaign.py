@@ -421,8 +421,14 @@ def train_and_gen_jax():
     from probtalk_tpu.data.device_dataset import DeviceWindowedDataset
 
     dds = DeviceWindowedDataset(clips, mean, std, window=WINDOW, stride=6)
+    # zero_rows=64 is the reference's literal `mask[:64] = 0`
+    # (predictor.py:226): at this campaign's bs=8 it unconditions ALL rows
+    # — exactly what the torch wrappers being compared against do. Pinned
+    # so every arm (including ones run after the framework default became
+    # batch-proportional) keeps identical semantics.
     pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False,
-                                      context_mask_mode=ctx_mode)
+                                      context_mask_mode=ctx_mode,
+                                      context_zero_rows=64)
     key = jax.random.key(3 + koff)
     for i, b in enumerate(device_batch_stream(dds, STEPS, seed0=1)):
         key, k = jax.random.split(key)
@@ -437,7 +443,8 @@ def train_and_gen_jax():
                                 init_kwargs={"train": True},
                                 torch_init=init_style)
     rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False,
-                                    context_mask_mode=ctx_mode)
+                                    context_mask_mode=ctx_mode,
+                                    context_zero_rows=64)
     key = jax.random.key(5 + koff)
     for i, b in enumerate(device_batch_stream(dds, STEPS, seed0=2)):
         key, k = jax.random.split(key)

@@ -430,3 +430,65 @@ class TestIdleGC:
         assert out.shape == (W, CM)
         assert eng.active_sessions() == 1
         eng.flush(sid)
+
+
+class TestRobustness:
+    def test_wrong_feature_dim_rejected_at_feed(self, solo_eng, rng):
+        """A wrong-shaped client gets its own ValueError; the pump (and
+        other sessions) never see the bad payload."""
+        sid = solo_eng.create_session(seed=1)
+        with pytest.raises(ValueError, match="feats must be"):
+            solo_eng.feed(sid, rng.normal(size=(W, CA + 3)).astype(np.float32))
+        with pytest.raises(ValueError, match="feats must be"):
+            solo_eng.feed(sid, rng.normal(size=(W,)).astype(np.float32))
+        # session still healthy afterwards
+        out = np.concatenate(
+            [solo_eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32)),
+             solo_eng.flush(sid)], axis=0)
+        assert out.shape == (W, CM)
+
+    def test_long_stream_buffer_is_bounded(self, solo_eng, gen, rng):
+        """Consumed input units are dropped: after many windows the
+        session holds O(window) units, not the whole stream history —
+        and the output still matches the offline generator exactly."""
+        t = W + 6 * STEP                      # 7 windows
+        aud = rng.normal(size=(t, CA)).astype(np.float32)
+        sid = solo_eng.create_session(seed=9)
+        parts = []
+        for i in range(0, t, 5):
+            parts.append(solo_eng.feed(sid, aud[i:i + 5]))
+            s = solo_eng._sessions.get(sid)
+            if s is not None:
+                assert s.buffered().shape[0] <= W + 5
+                assert s.trimmed + s.buffered().shape[0] == s.n_feat
+        parts.append(solo_eng.flush(sid))
+        out = np.concatenate(parts, 0)
+        np.testing.assert_allclose(out, offline(gen, 9, aud),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_pump_thread_survives_engine_error(self, stages, rng):
+        """A pump_all() exception must not kill the server's pump loop."""
+        eng = make_engine(stages, max_batch=1)
+        server = MotionServer(eng, pump_interval=0.005).start()
+        try:
+            orig, calls = eng.pump_all, []
+
+            def boom():
+                if not calls:
+                    calls.append(1)
+                    raise RuntimeError("injected")
+                return orig()
+
+            eng.pump_all = boom
+            deadline = threading.Event()
+            deadline.wait(0.05)               # let the pump hit the error
+            assert server.pump_errors >= 1
+            # the loop is still alive: a real session still gets frames
+            sid = eng.create_session(seed=2)
+            eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32),
+                     pump=False)
+            out = eng.poll(sid, timeout=2.0)
+            assert out.shape[0] == W
+            eng.flush(sid)
+        finally:
+            server.stop()

@@ -61,9 +61,20 @@ class TestContextMask:
             on = np.nonzero(row)[0]
             assert on[-1] - on[0] == 29
 
-    def test_bank_mode_small_batch_all_zero(self):
-        # at bs<=64 the reference's mask[:64]=0 zeroes the whole batch
+    def test_bank_mode_small_batch_scales(self):
+        # default zero_rows=None scales the reference's half-batch
+        # unconditioning to any bs: bs//2 rows zero, the rest windowed
         m = sample_context_mask(jax.random.key(2), 8, 180, context_len=30)
+        m = np.asarray(m)[..., 0]
+        assert m[:4].sum() == 0.0
+        assert (m[4:].sum(-1) == 30.0).all()
+
+    def test_bank_mode_literal_64_small_batch_all_zero(self):
+        # zero_rows=64 is the reference's literal mask[:64]=0
+        # (predictor.py:226): at bs<=64 it zeroes the whole batch — the
+        # parity ablation pins this to match the running torch wrappers
+        m = sample_context_mask(jax.random.key(2), 8, 180, context_len=30,
+                                zero_rows=64)
         assert float(np.asarray(m).sum()) == 0.0
 
 
