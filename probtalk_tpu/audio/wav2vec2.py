@@ -135,11 +135,10 @@ class FeatureExtractor(nn.Module):
         h = x[..., None]
         for i, (dim, k, s) in enumerate(_CONV_LAYERS):
             if self.impl == "fold" and i > 0:
-                # bf16 compute: the point of the fold path is the bf16 MXU
-                # rate; norms/output remain f32 at the caller
+                # dtype=None means f32 like every other impl (the measured
+                # ablation arm runs it with dtype=bfloat16 for the MXU rate)
                 h = _FoldConv(dim, k, s, use_bias=self.conv_bias,
-                              dtype=self.dtype or jnp.bfloat16,
-                              name=f"conv_{i}")(h)
+                              dtype=self.dtype, name=f"conv_{i}")(h)
             elif self.impl == "matmul":
                 h = _PatchConv(dim, k, s, use_bias=self.conv_bias,
                                dtype=self.dtype, name=f"conv_{i}")(h)
@@ -218,13 +217,17 @@ class Wav2Vec2Encoder(nn.Module):
     stable_layer_norm: bool = False  # pre-LN encoder + final LN (HuBERT-large)
     dtype: Optional[jnp.dtype] = None   # bf16 compute (f32 params/norms)
     fe_impl: str = "conv"            # feature-extractor conv impl (see above)
+    fe_dtype: Optional[jnp.dtype] = None  # FE-only compute dtype override
+    #   (None -> follow `dtype`; the bench's fe-bf16 arm runs a bf16 FE
+    #   under an otherwise-f32 encoder)
 
     @nn.compact
     def __call__(self, waveform, n_frames: Optional[int] = None,
                  train: bool = False):
         """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
         S/16000*30). None keeps the native 50 fps."""
-        feat = FeatureExtractor(dtype=self.dtype, norm_mode=self.norm_mode,
+        feat = FeatureExtractor(dtype=self.fe_dtype or self.dtype,
+                                norm_mode=self.norm_mode,
                                 conv_bias=self.conv_bias, impl=self.fe_impl,
                                 name="feature_extractor")(waveform)
 

@@ -116,7 +116,8 @@ def main(argv=None):
                    help="admission limit; extra session creates get 503")
     p.add_argument("--idle_ttl", type=float, default=300.0,
                    help="seconds of inactivity before an unflushed session "
-                        "is garbage-collected (frees its max_sessions slot)")
+                        "is garbage-collected (frees its max_sessions slot); "
+                        "<=0 disables GC")
     p.add_argument("--pump_interval", type=float, default=0.01)
     p.add_argument("--raw", action="store_true",
                    help="emit normalized fbhe motion instead of "

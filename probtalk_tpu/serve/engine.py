@@ -35,7 +35,8 @@ TPU-first design points:
 - **Transfer-aware batching** (this backend moves ~25 MB/s host<->device):
   the motion-context upload is the (overlap, C) tail only — the window
   gets zero-padded and masked INSIDE the program; the device call returns
-  ``(refined, tails)`` and only the tiny tails are fetched at pump time
+  ``(refined, tails, key_data)`` and only the tiny tails + carried RNG key
+  data are fetched at pump time
   (doubling as the completion barrier), while the full refined windows
   stay device-resident and transfer lazily at ``poll``/``feed``-return
   time, overlapping later batches' compute. ``emit_dtype=jnp.float16``
@@ -126,6 +127,7 @@ class _Session:
     # pending output: (batch record, lane, frames to skip at the front)
     pending: List[Tuple[_BatchOut, int, int]] = field(default_factory=list)
     new_frames: threading.Event = field(default_factory=threading.Event)
+    waiters: int = 0                         # threads blocked in poll(timeout)
     closed: bool = False
 
     def buffered(self) -> np.ndarray:
@@ -185,8 +187,10 @@ class ServingEngine:
         self.sr, self.fps = sr, fps
         self.emit_dtype = emit_dtype
         # abandoned-session GC: a client that stops feeding without flush
-        # would otherwise hold its buffers (and a max_sessions slot) forever
-        self.idle_ttl = idle_ttl
+        # would otherwise hold its buffers (and a max_sessions slot) forever.
+        # idle_ttl<=0 means disabled (same as None) — 0 must never mean
+        # "expire everything on the next pump"
+        self.idle_ttl = idle_ttl if (idle_ttl and idle_ttl > 0) else None
         self._variables = (
             {"params": pred_state.params, **pred_state.mutables},
             {"params": ref_state.params, **ref_state.mutables},
@@ -203,7 +207,10 @@ class ServingEngine:
         self._sessions: Dict[str, _Session] = {}
         self._ids = itertools.count()
         self._lock = threading.Lock()
-        self.stats = {"windows": 0, "batches": 0, "pad_rows": 0}
+        # every key is seeded here: /healthz json.dumps() reads this dict
+        # from a handler thread without the engine lock, so the pump thread
+        # must never INSERT keys at runtime (dict-changed-size race)
+        self.stats = {"windows": 0, "batches": 0, "pad_rows": 0, "expired": 0}
         # last-512 reservoirs: device wall ms per batched window call, and
         # window-ready -> output-emitted queueing latency ms
         self._batch_ms = collections.deque(maxlen=512)
@@ -280,8 +287,7 @@ class ServingEngine:
             sid = f"s{next(self._ids)}"
             self._sessions[sid] = _Session(
                 speaker=int(speaker),
-                key_data=np.asarray(
-                    jax.random.key_data(jax.random.key(seed))),
+                key_data=_host_key_data(seed),
                 last_active=time.monotonic())
             return sid
 
@@ -334,10 +340,22 @@ class ServingEngine:
                 chunks = self._pop_chunks(s)
             else:
                 chunks, ev = None, s.new_frames
+                if timeout:
+                    s.waiters += 1       # a blocked poll is NOT an idle
+                    # session: the GC sweep skips it (last_active only
+                    # stamps at poll ENTRY, so a long wait would otherwise
+                    # expire a clearly-attended session mid-wait)
         if chunks is not None:
             return self._emit(chunks)
         if timeout:
-            ev.wait(timeout)
+            try:
+                ev.wait(timeout)
+            finally:
+                with self._lock:
+                    w = self._sessions.get(sid)
+                    if w is not None:
+                        w.waiters -= 1
+                        w.last_active = time.monotonic()
         with self._lock:
             s = self._sessions.get(sid)
             if s is None:
@@ -352,11 +370,11 @@ class ServingEngine:
             if self.idle_ttl is not None:
                 cut = time.monotonic() - self.idle_ttl
                 for sid in [k for k, s in self._sessions.items()
-                            if s.last_active < cut]:
+                            if s.last_active < cut and s.waiters == 0]:
                     s = self._sessions.pop(sid)
                     s.closed = True
                     s.new_frames.set()       # unblock any waiting poll
-                    self.stats["expired"] = self.stats.get("expired", 0) + 1
+                    self.stats["expired"] += 1
             before = self.stats["windows"]
             self._pump()
             return self.stats["windows"] - before
@@ -516,6 +534,11 @@ class ServingEngine:
         self.stats["pad_rows"] += bucket - n
         for i, sid in enumerate(sids):
             s = self._sessions[sid]
+            # a session with work flowing is alive by definition: refresh
+            # the GC stamp at window completion, not only at feed/poll
+            # entry — otherwise one slow batch (cold compile) can outlast
+            # the TTL and expire the very session it is serving
+            s.last_active = time.monotonic()
             skip = 0 if s.windows_done == 0 else ov
             s.ctx_tail = tails_np[i]
             s.key_data = kd_np[i]
@@ -534,6 +557,22 @@ class ServingEngine:
 
     def _post(self, x: np.ndarray) -> np.ndarray:
         return self.postprocess(x) if self.postprocess is not None else x
+
+
+def _host_key_data(seed: int) -> np.ndarray:
+    """uint32 key data equal to ``jax.random.key_data(jax.random.key(seed))``
+    computed WITHOUT device ops: threefry2x32 (jax's default PRNG) seeds as
+    the 64-bit seed split into [hi32, lo32]. create_session holds the global
+    engine lock, and on the tunnel-attached backend an eager key build +
+    key_data fetch costs device round-trips per session create — on the
+    pump-adjacent path. Non-threefry impls fall back to the device build."""
+    if jax.config.jax_default_prng_impl != "threefry2x32":
+        return np.asarray(jax.random.key_data(jax.random.key(seed)))
+    if jax.config.jax_enable_x64:
+        s = int(seed) % (1 << 64)
+        return np.array([s >> 32, s & 0xFFFFFFFF], np.uint32)
+    # without x64 the seed canonicalizes to int32 first (hi word is 0)
+    return np.array([0, int(seed) % (1 << 32)], np.uint32)
 
 
 def _bucket(n: int, max_batch: int, granule: int = 1) -> int:

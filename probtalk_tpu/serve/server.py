@@ -32,6 +32,9 @@ import numpy as np
 
 from probtalk_tpu.serve.engine import EngineBusy, ServingEngine, SessionClosed
 
+# consecutive pump failures before /healthz reports the server unhealthy
+_UNHEALTHY_AFTER = 5
+
 
 class MotionServer:
     """Owns the engine, the HTTP server, and the pump thread."""
@@ -42,6 +45,10 @@ class MotionServer:
         self.pump_interval = pump_interval
         self._stop = threading.Event()
         self.pump_errors = 0
+        # consecutive failures: drives pump backoff and flips /healthz
+        # ok:false past _UNHEALTHY_AFTER so load balancers stop routing to
+        # a server that can no longer produce frames
+        self.pump_errors_consecutive = 0
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
@@ -64,13 +71,21 @@ class MotionServer:
         # the pump thread must survive ANY per-round failure: if it died,
         # the server would keep accepting requests but never produce
         # frames again (zombie). Errors are counted and surfaced on
-        # /healthz instead.
-        while not self._stop.wait(self.pump_interval):
+        # /healthz; a PERSISTENTLY failing engine (lost device, poisoned
+        # step) backs off exponentially instead of burning the 100 Hz loop
+        # on tracebacks, and flips /healthz ok:false so traffic drains.
+        delay = self.pump_interval
+        while not self._stop.wait(delay):
             try:
                 self.engine.pump_all()
+                self.pump_errors_consecutive = 0
+                delay = self.pump_interval
             except Exception:
                 self.pump_errors += 1
-                traceback.print_exc()
+                self.pump_errors_consecutive += 1
+                if self.pump_errors_consecutive <= 3:
+                    traceback.print_exc()   # first few get full tracebacks
+                delay = min(max(delay, self.pump_interval) * 2, 5.0)
 
 
 def _make_handler(server: MotionServer):
@@ -107,11 +122,13 @@ def _make_handler(server: MotionServer):
         # ---- routes --------------------------------------------------
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True,
-                                 "sessions": engine.active_sessions(),
-                                 "stats": engine.stats,
-                                 "pump_errors": server.pump_errors,
-                                 "latency": engine.latency_stats()})
+                ok = server.pump_errors_consecutive < _UNHEALTHY_AFTER
+                self._json(200 if ok else 503,
+                           {"ok": ok,
+                            "sessions": engine.active_sessions(),
+                            "stats": engine.stats,
+                            "pump_errors": server.pump_errors,
+                            "latency": engine.latency_stats()})
             else:
                 self._json(404, {"error": "not found"})
 

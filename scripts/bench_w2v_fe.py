@@ -53,7 +53,7 @@ def main():
     for impl, dt, tag in (("conv", None, "f32"), ("conv", jnp.bfloat16, "bf16"),
                           ("matmul", None, "f32"),
                           ("matmul", jnp.bfloat16, "bf16"),
-                          ("fold", None, "bf16")):
+                          ("fold", jnp.bfloat16, "bf16")):
         fe = FeatureExtractor(impl=impl, dtype=dt)
         f = jax.jit(lambda v, x, fe=fe: fe.apply(v, x))
         res[f"fe_{impl}_{tag}"] = round(timeit(f, fe_vars, wav), 3)
@@ -62,11 +62,13 @@ def main():
     enc_ref = Wav2Vec2Encoder(fe_impl="conv")
     enc_vars = jax.jit(lambda r, x: enc_ref.init(r, x, n_frames=NF))(
         jax.random.key(0), wav[:1])
-    for impl, dt, tag in (("conv", None, "f32"), ("conv", jnp.bfloat16, "bf16"),
-                          ("matmul", None, "f32"),
-                          ("fold", None, "fe-bf16"),
-                          ("fold", jnp.bfloat16, "bf16")):
-        enc = Wav2Vec2Encoder(fe_impl=impl, dtype=dt)
+    for impl, dt, fe_dt, tag in (
+            ("conv", None, None, "f32"),
+            ("conv", jnp.bfloat16, None, "bf16"),
+            ("matmul", None, None, "f32"),
+            ("fold", None, jnp.bfloat16, "fe-bf16"),
+            ("fold", jnp.bfloat16, None, "bf16")):
+        enc = Wav2Vec2Encoder(fe_impl=impl, dtype=dt, fe_dtype=fe_dt)
         f = jax.jit(lambda v, x, enc=enc: enc.apply(v, x, n_frames=NF))
         res[f"full_{impl}_{tag}"] = round(timeit(f, enc_vars, wav), 3)
         print(f"full {impl} {tag}: {res[f'full_{impl}_{tag}']} ms",

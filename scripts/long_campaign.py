@@ -69,6 +69,31 @@ def codebook_health(mutables) -> dict:
             "usage": [round(float(x), 3) for x in usage]}
 
 
+# Training-scheme stamp: the campaign is step-resumable ACROSS processes,
+# so a code change to the train-step defaults (context-mask mode/zero_rows,
+# per-step RNG derivation, masking curriculum) between runs would silently
+# train a hybrid checkpoint matching neither scheme. Stamp the scheme on
+# first run; refuse to resume under a different one.
+SCHEME = {
+    "ctx_mask_mode": "bank", "ctx_zero_rows": "bs//2",
+    "token_mask": "topk", "rng": "fold_in(key, step)",
+    "producer_contract": "index-stream replay", "window": WINDOW, "bs": BS,
+}
+
+
+def check_scheme():
+    p = os.path.join(DIR, "scheme.json")
+    if os.path.exists(p):
+        old = json.load(open(p))
+        if old != SCHEME:
+            raise SystemExit(
+                f"train-step scheme changed mid-campaign:\n  stamped {old}\n"
+                f"  current {SCHEME}\nresuming would mix schemes in one "
+                f"checkpoint — wipe {DIR} to restart under the new scheme")
+    else:
+        json.dump(SCHEME, open(p, "w"))
+
+
 class StepCkpt:
     """Step-granular resume for one stage (flat-npz FastCkpt: orbax
     serialization of a ~600 MB TrainState is 10+ min on this 1-core
@@ -98,6 +123,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     os.makedirs(DIR, exist_ok=True)
+    check_scheme()
     log(f"backend: {jax.default_backend()}")
 
     from probtalk_tpu.cli.data_build import build_cache, load_cached_clips

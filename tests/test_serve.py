@@ -431,6 +431,104 @@ class TestIdleGC:
         assert eng.active_sessions() == 1
         eng.flush(sid)
 
+    def test_ttl_zero_means_disabled(self, stages):
+        """idle_ttl=0 (the natural CLI 'off' value) must disable GC, not
+        expire every session on the next pump."""
+        eng = make_engine(stages, max_batch=1, idle_ttl=0.0)
+        assert eng.idle_ttl is None
+        sid = eng.create_session()
+        eng.pump_all()
+        assert eng.active_sessions() == 1
+        eng.flush(sid)
+
+    def test_blocked_poll_is_not_idle(self, stages, rng):
+        """A client blocked inside poll(timeout) stamps last_active only
+        at entry; the GC sweep must not expire it mid-wait."""
+        import threading as _threading
+        import time as _time
+
+        eng = make_engine(stages, max_batch=1, idle_ttl=0.05)
+        sid = eng.create_session()
+        eng.feed(sid, rng.normal(size=(3, CA)).astype(np.float32),
+                 pump=False)
+        got = {}
+
+        def waiter():
+            got["out"] = eng.poll(sid, timeout=0.5)
+
+        th = _threading.Thread(target=waiter)
+        th.start()
+        _time.sleep(0.1)                      # > ttl, waiter still blocked
+        eng.pump_all()                        # GC sweep must skip it
+        assert eng.active_sessions() == 1
+        th.join()
+        assert got["out"].shape[1] == CM      # SessionClosed never raised
+        eng.flush(sid)
+
+    def test_stats_keys_fixed_at_init(self, stages):
+        """/healthz dumps engine.stats without the lock: the pump thread
+        must never insert keys at runtime (all keys seeded in __init__)."""
+        eng = make_engine(stages, max_batch=1, idle_ttl=0.01)
+        keys0 = set(eng.stats)
+        assert "expired" in keys0
+        sid = eng.create_session()
+        import time as _time
+
+        _time.sleep(0.03)
+        eng.pump_all()
+        assert eng.stats["expired"] == 1 and set(eng.stats) == keys0
+        with pytest.raises(SessionClosed):
+            eng.flush(sid)
+
+
+class TestHostKeyData:
+    def test_matches_device_key(self):
+        from probtalk_tpu.serve.engine import _host_key_data
+
+        for seed in (0, 1, 5, 123456789, 2**40 + 7, -1):
+            want = np.asarray(jax.random.key_data(jax.random.key(seed)))
+            np.testing.assert_array_equal(_host_key_data(seed), want)
+
+
+class TestPumpDegradation:
+    def test_persistent_pump_failure_flips_healthz(self, capsys):
+        """A permanently failing engine must not burn the pump loop at
+        100 Hz forever, and /healthz must flip unhealthy (503/ok:false)
+        so load balancers drain the server."""
+        import time as _time
+
+        class BadEngine:
+            stats = {"windows": 0}
+            raw_audio = False
+
+            def pump_all(self):
+                raise RuntimeError("device lost")
+
+            def active_sessions(self):
+                return 0
+
+            def latency_stats(self):
+                return {}
+
+        srv = MotionServer(BadEngine(), pump_interval=0.002).start()
+        try:
+            deadline = _time.time() + 10
+            while _time.time() < deadline:
+                conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+                conn.request("GET", "/healthz")
+                r = conn.getresponse()
+                body = json.loads(r.read())
+                conn.close()
+                if not body["ok"]:
+                    assert r.status == 503
+                    assert body["pump_errors"] >= 5
+                    break
+                _time.sleep(0.02)
+            else:
+                raise AssertionError("healthz never flipped unhealthy")
+        finally:
+            srv.stop()
+
 
 class TestRobustness:
     def test_wrong_feature_dim_rejected_at_feed(self, solo_eng, rng):
