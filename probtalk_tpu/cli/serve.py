@@ -25,7 +25,7 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
                  max_sessions=None, raw: bool = False, seed: int = 0,
                  pcm: bool = False, w2v_ckpt=None, w2v_arch: str = "wav2vec2",
                  wav_int16: bool = False, emit_f16: bool = False,
-                 idle_ttl=None):
+                 idle_ttl=None, face_path=None):
     """Stages via the demo's builder; returns a ready ServingEngine.
 
     pcm=True serves raw 16 kHz audio: the acoustic frontend (w2v_arch
@@ -92,6 +92,30 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
         import jax.numpy as jnp
 
         kw["emit_dtype"] = jnp.float16
+    if face_path is not None:
+        # dedicated jaw+expression generator joins the window program; its
+        # output splices over the body stages' face channels (ai1.py:61-77)
+        import jax
+        import jax.numpy as jnp
+
+        from probtalk_tpu.core import body_parts
+        from probtalk_tpu.models.face import FaceGenerator
+        from probtalk_tpu.train.state import adamw, create_train_state
+        from probtalk_tpu.train.trainer import Checkpointer
+
+        face = FaceGenerator(jaw_dim=body_parts.each_dim(True)[0])
+        aud_dim = 768 if pcm else config.Data.aud.get("aud_feat_dim", 64)
+        a0 = jnp.zeros((1, pipe.window, aud_dim), jnp.float32)
+        fstate = create_train_state(face, (a0,), jax.random.key(seed + 21),
+                                    adamw(1e-4),
+                                    init_kwargs={"train": False})
+        restored, _ = Checkpointer(face_path).restore(fstate)
+        if restored is not None:
+            fstate = restored
+        else:
+            print(f"WARNING: no face checkpoint at {face_path}: "
+                  "face stage is random-init (shape-complete only)")
+        kw["face"] = (face, {"params": fstate.params, **fstate.mutables})
     return ServingEngine(
         pipe.vq_model, pipe.vq_variables, pipe.predictor_stage,
         pipe.predictor_state, pipe.refiner_stage, pipe.refiner_state,
@@ -135,6 +159,11 @@ def main(argv=None):
                    help="int16 PCM wire (halves the audio upload)")
     p.add_argument("--emit_f16", action="store_true",
                    help="float16 device->host output transfer")
+    p.add_argument("--face_model_path", default=None,
+                   help="s2g_face checkpoint dir: run the dedicated face "
+                        "generator inside the window program and splice its "
+                        "jaw+expression over the body output (ai1.py "
+                        "composition)")
     args = p.parse_args(argv)
 
     config = load_config(args.config_file)
@@ -147,7 +176,8 @@ def main(argv=None):
         max_batch=args.max_batch, max_sessions=args.max_sessions,
         raw=args.raw, pcm=args.pcm, w2v_ckpt=args.w2v_ckpt,
         w2v_arch=args.w2v_arch, wav_int16=args.wav_int16,
-        emit_f16=args.emit_f16, idle_ttl=args.idle_ttl)
+        emit_f16=args.emit_f16, idle_ttl=args.idle_ttl,
+        face_path=args.face_model_path)
     server = MotionServer(engine, host=args.host, port=args.port,
                           pump_interval=args.pump_interval).start()
     print(f"serving on http://{args.host}:{server.port} "

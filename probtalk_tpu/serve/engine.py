@@ -157,7 +157,8 @@ class ServingEngine:
                  postprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None,
                  frontend: Optional[tuple] = None, sr: int = 16000,
                  fps: int = 30, wav_dtype=np.float32, emit_dtype=None,
-                 idle_ttl: Optional[float] = None):
+                 idle_ttl: Optional[float] = None,
+                 face: Optional[tuple] = None):
         self.window = window
         self.overlap = overlap
         self.step = window - overlap
@@ -191,11 +192,23 @@ class ServingEngine:
         # idle_ttl<=0 means disabled (same as None) — 0 must never mean
         # "expire everything on the next pump"
         self.idle_ttl = idle_ttl if (idle_ttl and idle_ttl > 0) else None
+        # optional face stage (``face=(face_model, face_variables)``): the
+        # dedicated jaw+expression generator joins the SAME batched window
+        # program and its output splices over the body stages' face channels
+        # on the emit side (the ai1.py composition, reference ai1.py:61-77).
+        # Body-path context feedback stays unspliced so the body schedule is
+        # bitwise-identical with or without the face stage. Streaming
+        # deviation from the whole-clip ai1 splice: each window's face convs
+        # see only that window's audio, so frames near a window edge lack
+        # cross-window context (bounded by the face stack's receptive
+        # field, well inside the `overlap` margin).
+        self.face = face
         self._variables = (
             {"params": pred_state.params, **pred_state.mutables},
             {"params": ref_state.params, **ref_state.mutables},
             vq_variables,
             frontend[1] if self.raw_audio else (),
+            face[1] if face is not None else (),
         )
         if mesh is not None:
             from probtalk_tpu.parallel.mesh import replicate
@@ -203,7 +216,8 @@ class ServingEngine:
             self._variables = replicate(self._variables, mesh)
         self._step_fn = self._build_step(
             vq_model, pred_stage, ref_stage,
-            frontend[0] if self.raw_audio else None)
+            frontend[0] if self.raw_audio else None,
+            face[0] if face is not None else None)
         self._sessions: Dict[str, _Session] = {}
         self._ids = itertools.count()
         self._lock = threading.Lock()
@@ -226,7 +240,8 @@ class ServingEngine:
         return frames * self._upf // self._fpu
 
     # ------------------------------------------------------------------
-    def _build_step(self, vq_model, pred_stage, ref_stage, fe_model):
+    def _build_step(self, vq_model, pred_stage, ref_stage, fe_model,
+                    face_model=None):
         window, ov = self.window, self.overlap
         int16_in = self.raw_audio and self.wav_dtype == np.int16
         emit_dtype = self.emit_dtype
@@ -238,7 +253,7 @@ class ServingEngine:
             # streaming.py:55,69) happens HERE, inside the compiled
             # program: no eager per-session split on the pump hot path,
             # same bit-exact chain.
-            pred_vars, ref_vars, vq_vars, fe_vars = variables
+            pred_vars, ref_vars, vq_vars, fe_vars, face_vars = variables
             carry, key = jax.random.split(jax.random.wrap_key_data(kd))
             if fe_model is not None:
                 wav = aud_w.astype(jnp.float32)
@@ -270,7 +285,21 @@ class ServingEngine:
             refined = ref_stage.apply(ref_vars, blended, aud_w, mask, speaker,
                                       train=False)
             out = (ctx * mask + refined * (1.0 - mask))[0]
-            emit = out if emit_dtype is None else out.astype(emit_dtype)
+            emit = out
+            if face_model is not None:
+                # splice the face generator's jaw+expression over the body
+                # output ON THE EMIT SIDE ONLY (pipeline.splice_face /
+                # ai1.py:61-77); the context tail carries the unspliced
+                # body so the body schedule is unchanged
+                f = face_model.apply(face_vars, aud_w, speaker,
+                                     train=False)[0]
+                jd = face_model.jaw_dim
+                ed = face_model.expression_dim
+                emit = jnp.concatenate(
+                    [f[:, :jd], out[:, jd: out.shape[-1] - ed], f[:, jd:]],
+                    axis=-1)
+            if emit_dtype is not None:
+                emit = emit.astype(emit_dtype)
             return emit, out[-ov:], jax.random.key_data(carry)
 
         return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0)))

@@ -136,7 +136,8 @@ class TestMicroBatching:
             eng.feed(sid, rng.normal(size=(W, CA)).astype(np.float32),
                      pump=False)
         eng.pump_all()
-        assert eng.stats == {"windows": 3, "batches": 1, "pad_rows": 1}
+        assert eng.stats == {"windows": 3, "batches": 1, "pad_rows": 1,
+                             "expired": 0}
 
     def test_postprocess_applied(self, stages, rng):
         eng = make_engine(stages, postprocess=lambda x: x * 0.0)
@@ -488,6 +489,46 @@ class TestHostKeyData:
         for seed in (0, 1, 5, 123456789, 2**40 + 7, -1):
             want = np.asarray(jax.random.key_data(jax.random.key(seed)))
             np.testing.assert_array_equal(_host_key_data(seed), want)
+
+
+class TestFaceStage:
+    def test_face_splice_matches_composition(self, stages, rng):
+        """Serving with ``face=(model, vars)`` == serving without the face
+        stage + the ai1.py splice of the face generator run on the same
+        window features (single-window clip, so no cross-window face
+        context deviation; body channels must be bitwise-unchanged)."""
+        from probtalk_tpu.models.face import FaceGenerator
+
+        jd, ed = 3, 10
+        face = FaceGenerator(jaw_dim=jd, expression_dim=ed, hidden=16)
+        fvars = face.init(jax.random.key(7), jnp.zeros((1, W, CA)),
+                          jnp.zeros((1,), jnp.int32))
+        eng_f = make_engine(stages, max_batch=1, face=(face, fvars))
+        eng_p = make_engine(stages, max_batch=1)
+        aud = rng.normal(size=(W, CA)).astype(np.float32)
+        got = solo_run(eng_f, seed=3, aud_np=aud, speaker=1)
+        body = solo_run(eng_p, seed=3, aud_np=aud, speaker=1)
+        f = np.asarray(face.apply(fvars, jnp.asarray(aud)[None],
+                                  jnp.ones((1,), jnp.int32)))[0]
+        want = np.concatenate(
+            [f[:, :jd], body[:, jd: CM - ed], f[:, jd:]], axis=-1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        # body channels ride through bitwise-identically (context feedback
+        # carries the unspliced body, so the schedule is unchanged)
+        np.testing.assert_array_equal(got[:, jd: CM - ed],
+                                      body[:, jd: CM - ed])
+
+    def test_face_multiwindow_finite(self, stages, rng):
+        from probtalk_tpu.models.face import FaceGenerator
+
+        face = FaceGenerator(jaw_dim=3, expression_dim=10, hidden=16)
+        fvars = face.init(jax.random.key(8), jnp.zeros((1, W, CA)),
+                          jnp.zeros((1,), jnp.int32))
+        eng = make_engine(stages, max_batch=2, face=(face, fvars))
+        t = W + 2 * STEP + 5
+        aud = rng.normal(size=(t, CA)).astype(np.float32)
+        out = solo_run(eng, seed=4, aud_np=aud)
+        assert out.shape == (t, CM) and np.isfinite(out).all()
 
 
 class TestPumpDegradation:
