@@ -11,9 +11,17 @@
 set -e
 cd /root/repo
 
+# Only the artifacts scoring/resume actually needs survive:
+#   * the shared FGD embedder trio (small) — score() is meaningless
+#     without it; committing it also pins scores across sessions
+#   * the torch reference checkpoints + both sides' generation tensors
+#   * queue markers
+# The big demo-campaign stage checkpoints (vq alone is ~414 MB of Adam
+# state) are NOT committed — EVAL_DEMO.json is their durable output.
 paths=()
 for p in \
-    experiments/demo_ckpt \
+    experiments/demo_ckpt/emb_fe experiments/demo_ckpt/emb_bh \
+    experiments/demo_ckpt/emb_fbhe \
     experiments/parity/torch_vq_1500.pth \
     experiments/parity_full \
     experiments/trio.done experiments/torch_vq.done \
