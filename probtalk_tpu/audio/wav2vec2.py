@@ -30,6 +30,45 @@ _CONV_LAYERS = [(512, 10, 5)] + [(512, 3, 2)] * 4 + [(512, 2, 2)] * 2
 _FE_DOWNSAMPLE = 320  # total stride: 16kHz -> 50 fps
 
 
+def compute_mask_spans(key: jax.Array, batch: int, length: int,
+                       mask_prob: float, mask_length: int,
+                       min_masks: int = 0) -> jax.Array:
+    """SpecAugment span sampler -> (batch, length) bool mask. Jit-safe,
+    static shapes.
+
+    Capability of the reference's host-side numpy sampler
+    (``nets/spg/wav2vec.py:14-72`` ``_compute_mask_indices``, no padding
+    mask — the patched model never passes one): the span count uses the
+    same stochastic rounding ``floor(mask_prob*length/mask_length + u)``
+    with one shared uniform draw per batch (the reference computes
+    ``all_num_mask`` once), floored at ``min_masks``; span starts are
+    drawn per row WITHOUT replacement from ``[0, length - mask_length]``.
+    The reference's final trim-to-min-count across rows only equalizes
+    overlap-dedup differences (every row already shares ``num_mask``);
+    it is dropped here — masked-position counts may differ across rows
+    by span overlap, which the substitution semantics don't care about.
+    """
+    if mask_length < 1 or length < mask_length:
+        return jnp.zeros((batch, length), bool)
+    mean_spans = mask_prob * length / mask_length
+    n_max = max(int(np.floor(mean_spans)) + 1, min_masks)
+    n_starts = length - mask_length + 1
+    n_max = min(n_max, n_starts)
+    k_round, k_starts = jax.random.split(key)
+    u = jax.random.uniform(k_round, ())
+    num = jnp.maximum(jnp.floor(mean_spans + u).astype(jnp.int32), min_masks)
+    num = jnp.minimum(num, n_max)
+
+    starts = jax.vmap(
+        lambda k: jax.random.choice(k, n_starts, (n_max,), replace=False)
+    )(jax.random.split(k_starts, batch))                     # (B, n_max)
+    valid = (jnp.arange(n_max) < num)[None, :, None]         # (1, n_max, 1)
+    t = jnp.arange(length)[None, None, :]                    # (1, 1, T)
+    s = starts[:, :, None]                                   # (B, n_max, 1)
+    span = (t >= s) & (t < s + mask_length) & valid
+    return span.any(axis=1)
+
+
 def _conv_patches(x: jax.Array, k: int, s: int) -> jax.Array:
     """(B, T, C) -> (B, T_out, k*C) VALID-conv patches, tap-major — the
     layout that matches a (k, C, O) conv kernel reshaped to (k*C, O)."""
@@ -220,12 +259,25 @@ class Wav2Vec2Encoder(nn.Module):
     fe_dtype: Optional[jnp.dtype] = None  # FE-only compute dtype override
     #   (None -> follow `dtype`; the bench's fe-bf16 arm runs a bf16 FE
     #   under an otherwise-f32 encoder)
+    # SpecAugment (train-time only; the reference's patched model applies
+    # it between feature projection and encoder, nets/spg/wav2vec.py:117-137,
+    # with the HF wav2vec2-base config values)
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_min_masks: int = 2          # reference passes min_masks=2
+    mask_feature_prob: float = 0.0   # HF base default: feature masking off
+    mask_feature_length: int = 10
 
     @nn.compact
     def __call__(self, waveform, n_frames: Optional[int] = None,
-                 train: bool = False):
+                 train: bool = False, mask_time_indices=None):
         """waveform: (B, S) at 16 kHz; n_frames: motion frame count (e.g.
-        S/16000*30). None keeps the native 50 fps."""
+        S/16000*30). None keeps the native 50 fps.
+
+        train=True additionally applies SpecAugment time masking (needs an
+        'spec_augment' rng). ``mask_time_indices`` (B, n_frames) bool
+        overrides the sampled mask — applied even at train=False, matching
+        HF's explicit-mask semantics (used by the golden parity test)."""
         feat = FeatureExtractor(dtype=self.fe_dtype or self.dtype,
                                 norm_mode=self.norm_mode,
                                 conv_bias=self.conv_bias, impl=self.fe_impl,
@@ -245,6 +297,27 @@ class Wav2Vec2Encoder(nn.Module):
         feat = nn.LayerNorm(epsilon=1e-5, name="feat_norm", dtype=jnp.float32)(feat)
         feat = feat.astype(self.dtype or feat.dtype)
         feat = nn.Dense(self.dim, dtype=self.dtype, name="feat_proj")(feat)
+
+        # SpecAugment: learned-embedding substitution on masked time steps
+        # (+ optional channel zeroing), the reference's train-time branch
+        # (wav2vec.py:117-137). The param only materializes when the branch
+        # runs, so inference checkpoints/inits are unchanged.
+        if mask_time_indices is not None or (train and self.mask_time_prob > 0):
+            emb = self.param("masked_spec_embed",
+                             nn.initializers.uniform(scale=1.0), (self.dim,))
+            if mask_time_indices is None:
+                mask_time_indices = compute_mask_spans(
+                    self.make_rng("spec_augment"), feat.shape[0],
+                    feat.shape[1], self.mask_time_prob,
+                    self.mask_time_length, self.mask_min_masks)
+            feat = jnp.where(mask_time_indices[..., None],
+                             emb.astype(feat.dtype), feat)
+        if train and self.mask_feature_prob > 0:
+            fmask = compute_mask_spans(
+                self.make_rng("spec_augment"), feat.shape[0], feat.shape[2],
+                self.mask_feature_prob, self.mask_feature_length)
+            feat = jnp.where(fmask[:, None, :], jnp.zeros((), feat.dtype),
+                             feat)
 
         # grouped conv positional embedding
         pos = nn.Conv(self.dim, (self.conv_pos_kernel,),
@@ -320,6 +393,8 @@ def convert_hf_wav2vec2(hf_state_dict: dict, heads: int = 12) -> dict:
     put("feat_norm/bias", sd["feature_projection.layer_norm.bias"])
     put("feat_proj/kernel", sd["feature_projection.projection.weight"].T)
     put("feat_proj/bias", sd["feature_projection.projection.bias"])
+    if "masked_spec_embed" in sd:      # SpecAugment substitution embedding
+        put("masked_spec_embed", sd["masked_spec_embed"])
 
     # pos conv may be stored weight-normed: legacy (weight_g/weight_v) or
     # torch>=2.1 parametrizations (original0/original1)

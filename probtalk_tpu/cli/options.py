@@ -12,7 +12,12 @@ def parse_args(argv=None):
     p.add_argument("--exp_name", type=str, default="probtalk_tpu")
     p.add_argument("--speakers", type=str, nargs="+",
                    default=["oliver", "chemistry", "seth", "conan"])
+    p.add_argument("--seed", type=int, default=1)
     p.add_argument("--config_file", type=str, default="configs/transformer.json")
+    # Tmpt/S2G template flags (reference options.py:13-15); accepted and
+    # threaded through to the legacy baselines that read them
+    p.add_argument("--use_template", action="store_true")
+    p.add_argument("--template_length", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pretrained_pth", type=str, default=None)
     p.add_argument("--style_layer_norm", action="store_true")
@@ -26,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--face_model_name", type=str, default=None)
     p.add_argument("--face_model_path", type=str, default=None)
     p.add_argument("--audio_file", type=str, default=None)
+    p.add_argument("--speaker", type=str, default="oliver",
+                   help="oliver, chemistry, seth, conan (options.py:25)")
     p.add_argument("--id", type=int, default=0, help="speaker id for demo")
     p.add_argument("--num_sample", type=int, default=1)
     p.add_argument("--only_face", action="store_true")

@@ -42,22 +42,20 @@ def data_spec(ndim: int, batch_axis: int = 0) -> P:
 
 
 def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
-    """Place a pytree of host arrays batch-sharded over the mesh."""
+    """Place a pytree of host arrays batch-sharded over the mesh.
 
-    def put(x):
+    One batched ``jax.device_put`` call for the whole tree — per-leaf
+    puts serialize one blocking transfer each, which on a loaded 1-core
+    host blew the driver's dryrun budget (MULTICHIP_r03 rc=124)."""
+
+    def shard_of(x):
         if np.ndim(x) <= batch_axis:  # scalars etc. -> replicated
-            return jax.device_put(x, NamedSharding(mesh, P()))
-        return jax.device_put(
-            x, NamedSharding(mesh, data_spec(np.ndim(x), batch_axis))
-        )
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, data_spec(np.ndim(x), batch_axis))
 
-    return jax.tree_util.tree_map(put, batch)
+    return jax.device_put(batch, jax.tree_util.tree_map(shard_of, batch))
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated over the mesh."""
-
-    def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    return jax.tree_util.tree_map(put, tree)
+    """Place a pytree fully replicated over the mesh (one batched put)."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))

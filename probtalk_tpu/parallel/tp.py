@@ -54,32 +54,43 @@ def tp_spec(path: str, ndim: int, rules=None):
     return P()
 
 
-def tp_shard(tree, mesh: Mesh, rules=None):
-    """Place a param pytree with TP rules applied; everything else
-    replicated. Divisibility: a matched axis must divide by the mesh's
-    'model' size, else that leaf stays replicated."""
+def tp_sharding_tree(tree, mesh: Mesh, rules=None):
+    """-> pytree of NamedSharding mirroring ``tree`` with TP rules
+    applied; everything else replicated. Divisibility: a matched axis
+    must divide by the mesh's 'model' size, else that leaf stays
+    replicated."""
     msize = mesh.shape["model"]
 
-    def put(path, x):
+    def shard_of(path, x):
         spec = tp_spec(_path_str(path), getattr(x, "ndim", 0), rules)
         dims = [d for d in spec if d is not None]
         if dims:
             axis = list(spec).index("model")
             if x.shape[axis] % msize != 0:
                 spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(put, tree)
+    return jax.tree_util.tree_map_with_path(shard_of, tree)
+
+
+def tp_shard(tree, mesh: Mesh, rules=None):
+    """Place a param pytree with TP rules applied, as ONE batched
+    ``jax.device_put`` — per-leaf puts issue one blocking transfer (and
+    potential reshard compile) each, which wedged the driver's multichip
+    dryrun on the 1-core host (MULTICHIP_r03 rc=124)."""
+    return jax.device_put(tree, tp_sharding_tree(tree, mesh, rules))
 
 
 def tp_shard_state(state, mesh: Mesh, rules=None):
     """TrainState convenience: params/opt_state TP-sharded (optimizer
-    moments follow their params), mutables replicated."""
-    from probtalk_tpu.parallel.mesh import replicate
-
-    return state.replace(
-        step=replicate(state.step, mesh),
-        params=tp_shard(state.params, mesh, rules),
-        opt_state=tp_shard(state.opt_state, mesh, rules),
-        mutables=replicate(state.mutables, mesh),
+    moments follow their params — their leaf paths embed the param
+    paths, so the same rules match), mutables/step replicated. The whole
+    state moves in a single batched device_put."""
+    rep = NamedSharding(mesh, P())
+    shardings = state.replace(
+        step=rep,
+        params=tp_sharding_tree(state.params, mesh, rules),
+        opt_state=tp_sharding_tree(state.opt_state, mesh, rules),
+        mutables=jax.tree_util.tree_map(lambda _: rep, state.mutables),
     )
+    return jax.device_put(state, shardings)

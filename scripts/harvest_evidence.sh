@@ -3,37 +3,49 @@
 # .gitignored and the directory is wiped between build sessions, which has
 # cost three sessions of retraining: the shared FGD embedder trio, the
 # torch reference arms, and the jax ablation arms all died with /tmp.
-# Committing the (small, final) checkpoints and generation tensors makes
-# the evidence durable: the stage-resumable queue scripts then SKIP
-# anything already present instead of retraining it.
+# Committing the (small, final) artifacts makes the evidence durable: the
+# stage-resumable queue scripts then SKIP anything already present.
 #
 # Usage: bash scripts/harvest_evidence.sh [commit-message-suffix]
 set -e
 cd /root/repo
 
-# Only the artifacts scoring/resume actually needs survive:
+# Only what scoring/resume actually needs survives:
 #   * the shared FGD embedder trio (small) — score() is meaningless
-#     without it; committing it also pins scores across sessions
-#   * the torch reference checkpoints + both sides' generation tensors
-#   * queue markers
-# The big demo-campaign stage checkpoints (vq alone is ~414 MB of Adam
-# state) are NOT committed — EVAL_DEMO.json is their durable output.
+#     without it; committing it also pins scores across sessions/rounds
+#   * the SMALL final torch VQ artifact (state.VQ only, written atomically
+#     at step==STEPS by parity_campaign.py) — NOT the ~450 MB in-place-
+#     rewritten resume checkpoint (ADVICE r3)
+#   * both sides' final generation tensors + per-clip torch gen parts
+#   * queue markers — only ever touched on stage success
+# NOT committed: torch pred/ref resume checkpoints and orbax jax_vq state
+# (hundreds of MB of optimizer moments; their durable outputs are the gen
+# tensors), demo-campaign stage checkpoints (EVAL_DEMO.json is theirs).
 paths=()
 for p in \
     experiments/demo_ckpt/emb_fe experiments/demo_ckpt/emb_bh \
     experiments/demo_ckpt/emb_fbhe \
-    experiments/parity/torch_vq_1500.pth \
-    experiments/parity_full \
+    experiments/parity/torch_vq_1500_final.pth \
+    experiments/parity_full/gen_torch.npz \
+    experiments/parity_full/gen_torch_s1.npz \
+    experiments/parity_full/gen_torch_parts \
+    experiments/parity_full/gen_torch_parts_s1 \
     experiments/trio.done experiments/torch_vq.done \
-    experiments/torch_gen0.done experiments/scored.done \
+    experiments/torch_gen0.done experiments/torch_gen1.done \
+    experiments/tvq.done experiments/scored.done experiments/long.done \
     experiments/cpu_queue.done experiments/tpu_queue.done; do
   [ -e "$p" ] && paths+=("$p")
 done
+for f in experiments/parity_full/gen_jax_*.npz; do
+  [ -e "$f" ] && paths+=("$f")
+done
 [ ${#paths[@]} -eq 0 ] && { echo "nothing to harvest"; exit 0; }
 
-# guard: never commit a runaway-size artifact tree
-total=$(du -sm "${paths[@]}" 2>/dev/null | awk '{s+=$1} END {print s}')
-if [ "${total:-0}" -gt 1500 ]; then
+# guard: never commit a runaway-size artifact tree. Fail CLOSED: an empty
+# du result must block the commit, not bypass the check (ADVICE r3).
+total=$(du -sm "${paths[@]}" | awk '{s+=$1} END {print s}')
+[ -z "$total" ] && { echo "size check failed (empty du)"; exit 1; }
+if [ "$total" -gt 1500 ]; then
   echo "harvest too large (${total} MB > 1500 MB), refusing"; exit 1
 fi
 

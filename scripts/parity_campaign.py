@@ -121,14 +121,30 @@ def run_torch(train, evalb):
             }
             _, loss_dict = wrapper(bat)
             if i % 25 == 0 or i == STEPS - 1:
+                # write-then-rename: a kill mid-save must not corrupt the
+                # resume checkpoint (ADVICE r3)
                 torch.save({"state": wrapper.state_dict(), "step": i + 1},
-                           ckpt_path)
+                           ckpt_path + ".tmp")
+                os.replace(ckpt_path + ".tmp", ckpt_path)
             if i % 100 == 0 or i == STEPS - 1:
                 log(f"torch vq step {i}: " + ", ".join(
                     f"{k}={float(v):.4f}" for k, v in loss_dict.items()
                     if k in ("rec_loss", "velocity_loss", "e_q_loss")))
         log(f"torch vq trained in {time.time()-t0:.0f}s")
-        torch.save({"state": wrapper.state_dict(), "step": STEPS}, ckpt_path)
+        torch.save({"state": wrapper.state_dict(), "step": STEPS},
+                   ckpt_path + ".tmp")
+        os.replace(ckpt_path + ".tmp", ckpt_path)
+
+    # Small FINAL artifact: only state.VQ (all any downstream consumer —
+    # torch_config / convert_vqvae — reads), written atomically and only at
+    # step==STEPS. harvest_evidence.sh commits THIS, never the ~450 MB
+    # in-place-rewritten resume checkpoint (ADVICE r3).
+    final_path = os.path.join(CKPT, f"torch_vq_{STEPS}_final.pth")
+    if not os.path.exists(final_path):
+        torch.save({"state": {"VQ": wrapper.state_dict()["VQ"]},
+                    "step": STEPS}, final_path + ".tmp")
+        os.replace(final_path + ".tmp", final_path)
+        log(f"torch vq final artifact -> {final_path}")
 
     wrapper.VQ.eval()
     l1s = []

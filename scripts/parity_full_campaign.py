@@ -63,7 +63,32 @@ if os.environ.get("PROBTALK_FORCE_CPU"):
 CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
 DIR = os.path.join(REPO, "experiments", "parity_full")
 VQ_TORCH = os.path.join(REPO, "experiments", "parity", "torch_vq_1500.pth")
+VQ_TORCH_FINAL = os.path.join(REPO, "experiments", "parity",
+                              "torch_vq_1500_final.pth")
 OUT = os.path.join(REPO, "PARITY_FGD.json")
+
+
+def load_torch_vq():
+    """The shared torch VQ, step-validated. Prefers the small final
+    artifact; the full resume checkpoint is rewritten in place every 25
+    steps, so a bare file-exists gate could feed the causal -tvq arms a
+    mid-run state (ADVICE r3) — assert completion either way."""
+    import torch
+
+    path = VQ_TORCH_FINAL if os.path.exists(VQ_TORCH_FINAL) else VQ_TORCH
+    saved = torch.load(path, map_location="cpu", weights_only=False)
+    assert saved["step"] >= 1500, (
+        f"torch VQ at step {saved['step']} < 1500 — still training? ({path})")
+    return saved
+
+
+def atomic_savez(path, **kw):
+    """np.savez writes the target directly; a reader racing the writer (the
+    TPU queue's incremental score vs the CPU queue's gen) can hit a partial
+    zip. Write-then-rename makes every npz either absent or complete."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **kw)
+    os.replace(tmp, path)
 STEPS = int(os.environ.get("PARITY_STEPS", 600))
 BS, WINDOW, AUD = 8, 180, 768
 B_GEN = 8          # diversity samples at generation
@@ -190,8 +215,10 @@ def torch_config():
         import torch
 
         os.makedirs(DIR, exist_ok=True)
-        saved = torch.load(VQ_TORCH, map_location="cpu", weights_only=False)
-        torch.save({"generator": {"VQ": saved["state"]["VQ"]}}, vq_wrap)
+        saved = load_torch_vq()
+        torch.save({"generator": {"VQ": saved["state"]["VQ"]}},
+                   vq_wrap + ".tmp")
+        os.replace(vq_wrap + ".tmp", vq_wrap)
     cfg.Model.vq_path = vq_wrap
     return cfg
 
@@ -225,13 +252,16 @@ def train_torch_wrapper(kind: str):
         # reference epoch-based curricula: map steps onto a 100-"epoch" run
         _, ld = wrapper(torch_bat(b, epoch=int(i * 100 / STEPS)))
         if i % 25 == 0 or i == STEPS - 1:
-            torch.save({"state": wrapper.state_dict(), "step": i + 1}, ckpt)
+            torch.save({"state": wrapper.state_dict(), "step": i + 1},
+                       ckpt + ".tmp")
+            os.replace(ckpt + ".tmp", ckpt)
         if i % 100 == 0 or i == STEPS - 1:
             keys = [k for k in ld if "loss" in k][:3]
             log(f"torch_{kind} step {i}: " + ", ".join(
                 f"{k}={float(ld[k]):.4f}" for k in keys))
     log(f"torch_{kind} trained in {time.time()-t0:.0f}s")
-    torch.save({"state": wrapper.state_dict(), "step": STEPS}, ckpt)
+    torch.save({"state": wrapper.state_dict(), "step": STEPS}, ckpt + ".tmp")
+    os.replace(ckpt + ".tmp", ckpt)
     return wrapper
 
 
@@ -308,11 +338,11 @@ def gen_torch():
                 mask[..., s:e] = 1
             gen_seconds += clip_seconds
             outs[clip.name] = pred_out.numpy().transpose(0, 2, 1)  # (B,T,C)
-            np.savez(pf, gen=outs[clip.name], seconds=clip_seconds)
+            atomic_savez(pf, gen=outs[clip.name], seconds=clip_seconds)
             log(f"torch gen {clip.name}: {outs[clip.name].shape} "
                 f"({clip_seconds:.1f}s)")
-    np.savez(os.path.join(DIR, f"gen_torch{TORCH_TAG}.npz"),
-             gen_seconds=gen_seconds, **outs)
+    atomic_savez(os.path.join(DIR, f"gen_torch{TORCH_TAG}.npz"),
+                 gen_seconds=gen_seconds, **outs)
     log(f"torch generation total {gen_seconds:.1f}s (CPU)")
 
 
@@ -367,11 +397,9 @@ def train_and_gen_jax():
         # codebooks, and the decode path bit-for-bit (golden converter,
         # tests/test_torch_parity.py) — isolates predictor/refiner
         # training dynamics from the VQ stage.
-        import torch
-
         from probtalk_tpu.convert.torch_checkpoint import convert_vqvae
 
-        saved = torch.load(VQ_TORCH, map_location="cpu", weights_only=False)
+        saved = load_torch_vq()
         vq_vars = jax.tree.map(jnp.asarray, convert_vqvae(saved["state"]["VQ"]))
         log("torch vq converted -> jax (shared code targets)")
     else:
@@ -471,8 +499,8 @@ def train_and_gen_jax():
         gen_seconds += time.perf_counter() - t0
         outs[clip.name] = np.asarray(out)
         log(f"jax gen {clip.name}: {outs[clip.name].shape}")
-    np.savez(os.path.join(DIR, f"gen_jax_{vname}_s{JAX_SEED}.npz"),
-             gen_seconds=gen_seconds, **outs)
+    atomic_savez(os.path.join(DIR, f"gen_jax_{vname}_s{JAX_SEED}.npz"),
+                 gen_seconds=gen_seconds, **outs)
     log(f"jax generation total {gen_seconds:.2f}s (TPU, warm)")
 
 

@@ -80,3 +80,31 @@ class TestWav2Vec2Parity:
         feat = fn(wav)
         assert feat.shape == (30, 768)
         assert np.isfinite(feat).all()
+
+    def test_spec_augment_substitution_matches_reference(self, hf_model, rng):
+        """The reference's TRAIN-time branch (nets/spg/wav2vec.py:117-127):
+        masked time steps are replaced by the learned masked_spec_embed
+        between feature projection and encoder. Fixed mask on both sides
+        (the reference samples host-side with numpy; the substitution
+        semantics are what must match)."""
+        wav = (0.1 * rng.normal(size=32000)).astype(np.float32)
+        n_frames = 60
+        mask = np.zeros((1, n_frames), bool)
+        mask[0, 5:15] = True
+        mask[0, 40:50] = True
+
+        with torch.no_grad():
+            x = torch.from_numpy(wav)[None]
+            h = hf_model.feature_extractor(x)
+            h = torch.nn.functional.interpolate(
+                h, size=n_frames, align_corners=False, mode="linear")
+            h = h.transpose(1, 2)
+            h, _ = hf_model.feature_projection(h)
+            h[torch.from_numpy(mask)] = hf_model.masked_spec_embed
+            golden = hf_model.encoder(h)[0].numpy()
+
+        variables = convert_hf_wav2vec2(hf_model.state_dict())
+        out = np.asarray(Wav2Vec2Encoder().apply(
+            variables, jnp.asarray(wav)[None], n_frames=n_frames,
+            mask_time_indices=jnp.asarray(mask)))
+        np.testing.assert_allclose(out, golden, atol=1e-4, rtol=1e-3)

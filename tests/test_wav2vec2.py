@@ -39,6 +39,49 @@ class TestEncoder:
         out = enc.apply(v, x)
         assert 45 <= out.shape[1] <= 50   # ~50 fps native
 
+    def test_spec_augment_train_path(self, rng):
+        """train=True samples a time mask and substitutes the learned
+        embedding — output must differ from eval; eval path must not
+        require (or create) the masked_spec_embed param."""
+        enc = Wav2Vec2Encoder(dim=64, layers=1, heads=4, conv_pos_kernel=16,
+                              conv_pos_groups=4, dropout=0.0)
+        x = jnp.asarray(rng.normal(size=(2, 16000)).astype(np.float32))
+        v = enc.init({"params": jax.random.key(0),
+                      "spec_augment": jax.random.key(1),
+                      "dropout": jax.random.key(9)},
+                     x, n_frames=60, train=True)
+        assert "masked_spec_embed" in v["params"]
+        masked = enc.apply(v, x, n_frames=60, train=True,
+                           rngs={"spec_augment": jax.random.key(2),
+                                 "dropout": jax.random.key(8)})
+        plain = enc.apply(v, x, n_frames=60)
+        assert not np.allclose(np.asarray(masked), np.asarray(plain))
+        # eval init has no spec-augment param at all
+        v_eval = enc.init(jax.random.key(0), x, n_frames=60)
+        assert "masked_spec_embed" not in v_eval["params"]
+
+
+class TestComputeMaskSpans:
+    def test_span_statistics(self):
+        from probtalk_tpu.audio.wav2vec2 import compute_mask_spans
+
+        # reference envelope: T=180 at mask_prob 0.05, length 10, min 2
+        # -> num_mask = max(2, floor(0.9 + u)) = 2 spans of 10 always;
+        # without-replacement starts => 11..20 masked frames per row
+        m = np.asarray(jax.jit(
+            lambda k: compute_mask_spans(k, 64, 180, 0.05, 10, 2)
+        )(jax.random.key(0)))
+        assert m.shape == (64, 180) and m.dtype == bool
+        counts = m.sum(1)
+        assert counts.min() >= 11 and counts.max() <= 20
+        assert len({r.tobytes() for r in m}) > 1   # rows differ
+
+    def test_degenerate_lengths(self):
+        from probtalk_tpu.audio.wav2vec2 import compute_mask_spans
+
+        m = compute_mask_spans(jax.random.key(0), 2, 5, 0.05, 10, 2)
+        assert not np.asarray(m).any()             # window < mask_length
+
 
 class TestHFConverter:
     def test_mapping_from_synthetic_state_dict(self, rng):
