@@ -390,6 +390,100 @@ def convert_speech2gesture_d(sd: dict) -> dict:
     return {"params": t.params, "batch_stats": t.batch_stats}
 
 
+# ---------------------------------------------------------------------------
+# s2glayers Generator/Discriminator (the w_pre GRU continuity variant)
+# ---------------------------------------------------------------------------
+
+def _cnrc(t: _Tree, sd, src, dst):
+    """nets/layers.py ConvNormRelu CLASS (conv, norm, optional
+    residual_layer Sequential-of-one-conv) -> s2glayers_exact.CNRc."""
+    t.conv(sd, f"{src}.conv", f"{dst}/conv")
+    t.bn(sd, f"{src}.norm", f"{dst}/norm")
+    if f"{src}.residual_layer.0.weight" in sd:
+        t.conv(sd, f"{src}.residual_layer.0", f"{dst}/res")
+
+
+def _seqtrans1d(t: _Tree, sd, src, dst, layers: int):
+    """nets/layers.py SeqTranslator1D -> SeqTranslator1DExact."""
+    for i in range(layers):
+        _cnrc(t, sd, f"{src}.conv_layers.{i}", f"{dst}/block_{i}")
+
+
+def _gru_cell(t: _Tree, sd, src, dst, hidden: int):
+    """torch nn.GRU (1 layer) -> flax nn.GRUCell. torch gate order is
+    [r, z, n] along the 3H axis; flax folds the hidden-side r/z biases
+    into the input-side ones (its hr/hz Dense layers carry no bias), so
+    b_ir += b_hr and b_iz += b_hz; the n-gate hidden bias stays separate
+    (both frameworks apply it inside the reset gate product)."""
+    wi = _np(sd[f"{src}.weight_ih_l0"])     # (3H, in)
+    wh = _np(sd[f"{src}.weight_hh_l0"])     # (3H, H)
+    bi = _np(sd[f"{src}.bias_ih_l0"])
+    bh = _np(sd[f"{src}.bias_hh_l0"])
+    h = hidden
+    t._put(t.params, f"{dst}/ir/kernel", wi[:h].T)
+    t._put(t.params, f"{dst}/ir/bias", bi[:h] + bh[:h])
+    t._put(t.params, f"{dst}/iz/kernel", wi[h:2 * h].T)
+    t._put(t.params, f"{dst}/iz/bias", bi[h:2 * h] + bh[h:2 * h])
+    t._put(t.params, f"{dst}/in/kernel", wi[2 * h:].T)
+    t._put(t.params, f"{dst}/in/bias", bi[2 * h:])
+    t._put(t.params, f"{dst}/hr/kernel", wh[:h].T)
+    t._put(t.params, f"{dst}/hz/kernel", wh[h:2 * h].T)
+    t._put(t.params, f"{dst}/hn/kernel", wh[2 * h:].T)
+    t._put(t.params, f"{dst}/hn/bias", bh[2 * h:])
+
+
+def _unet_s2gl(t: _Tree, sd, src, dst, dim: int):
+    p = f"{src}." if src else ""     # src='' lets a bare UNet convert
+    for j in range(3):
+        _tfcnr(t, sd, f"{p}down1.{j}", f"{dst}/down1_{j}")
+    if f"{p}gru.weight_ih_l0" in sd:
+        _gru_cell(t, sd, f"{p}gru", f"{dst}/gru", dim)
+    for i in range(2, 7):
+        _tfcnr(t, sd, f"{p}down{i}", f"{dst}/down{i}")
+    for i in range(1, 6):
+        _tfcnr(t, sd, f"{p}up{i}.conv", f"{dst}/up{i}")
+
+
+def _audio_enc_s2gl(t: _Tree, sd, src, dst, pose: bool, dim: int):
+    _seqtrans1d(t, sd, f"{src}.first_net", f"{dst}/first_net", 4)
+    if pose:
+        t.conv(sd, f"{src}.mu_fc", f"{dst}/mu_fc")
+        t.conv(sd, f"{src}.var_fc", f"{dst}/var_fc")
+    _unet_s2gl(t, sd, f"{src}.unet", f"{dst}/unet", dim)
+
+
+def convert_s2glayers_g(sd: dict, common_dim: int = 256,
+                        expression: bool = True) -> dict:
+    """``nets/spg/s2glayers.Generator`` (use_template + separate form,
+    s2glayers.py:303-495) -> ``models.legacy.s2glayers_exact.GeneratorS2GL``
+    variables, including the w_pre GRU and pre-pose encoder."""
+    t = _Tree()
+    if "pose_encoder.conv_layers.0.conv.weight" in sd:
+        _seqtrans1d(t, sd, "pose_encoder", "pose_encoder", 3)
+        t.conv(sd, "mu_fc", "mu_fc")
+        t.conv(sd, "var_fc", "var_fc")
+    if "pre_pose_encoder.conv_layers.0.conv.weight" in sd:
+        _seqtrans1d(t, sd, "pre_pose_encoder", "pre_pose_encoder", 5)
+    _audio_enc_s2gl(t, sd, "audio_encoder", "audio_encoder", True, common_dim)
+    _audio_enc_s2gl(t, sd, "speech_encoder", "speech_encoder", False, 256)
+    for i in range(4 if expression else 3):
+        for j in range(3):
+            _tfcnr(t, sd, f"decoder.{i}.{j}", f"decoder_{i}_{j}")
+        t.conv(sd, f"final_out.{i}", f"final_out_{i}")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
+def convert_s2glayers_d(sd: dict) -> dict:
+    """``nets/spg/s2glayers.Discriminator`` (s2glayers.py:498-512) ->
+    ``models.legacy.s2glayers_exact.DiscriminatorS2GL`` variables."""
+    t = _Tree()
+    t.conv(sd, "net.0", "c0")
+    _tfcnr(t, sd, "net.2", "cnr1")
+    _tfcnr(t, sd, "net.3", "cnr2")
+    t.conv(sd, "net.4", "out")
+    return {"params": t.params, "batch_stats": t.batch_stats}
+
+
 def convert_ls3dcg_g(sd: dict) -> dict:
     """``nets/LS3DCG.Generator`` ->
     ``models.legacy.s2g_exact.LS3DCGGenerator`` variables."""

@@ -13,3 +13,6 @@ from probtalk_tpu.models.legacy.s2g_exact import (  # noqa: F401
 from probtalk_tpu.models.legacy.a2g_exact import (  # noqa: F401
     A2GGenerator, a2g_losses,
 )
+from probtalk_tpu.models.legacy.s2glayers_exact import (  # noqa: F401
+    DiscriminatorS2GL, GeneratorS2GL, UNetS2G,
+)

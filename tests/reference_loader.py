@@ -137,8 +137,11 @@ def patch_tf_convs():
     import torch
 
     s2g = ref_import("nets.speech2gesture")
+    s2gl = ref_import("nets.spg.s2glayers")   # defines its OWN tf-convs
     for cls, base in ((s2g.Conv1d_tf, torch.nn.Conv1d),
-                      (s2g.Conv2d_tf, torch.nn.Conv2d)):
+                      (s2g.Conv2d_tf, torch.nn.Conv2d),
+                      (s2gl.Conv1d_tf, torch.nn.Conv1d),
+                      (s2gl.Conv2d_tf, torch.nn.Conv2d)):
         if getattr(cls.__init__, "_ptlk", False):
             continue
 
