@@ -42,17 +42,19 @@ def compute_mask_spans(key: jax.Array, batch: int, length: int,
     same stochastic rounding ``floor(mask_prob*length/mask_length + u)``
     with one shared uniform draw per batch (the reference computes
     ``all_num_mask`` once), floored at ``min_masks``; span starts are
-    drawn per row WITHOUT replacement from ``[0, length - mask_length]``.
+    drawn per row WITHOUT replacement from ``[0, length - mask_length)``
+    (``np.random.choice(sz - min_len, ...)`` — exclusive: the reference
+    never masks a span touching the final frame).
     The reference's final trim-to-min-count across rows only equalizes
     overlap-dedup differences (every row already shares ``num_mask``);
     it is dropped here — masked-position counts may differ across rows
     by span overlap, which the substitution semantics don't care about.
     """
-    if mask_length < 1 or length < mask_length:
+    if mask_length < 1 or length <= mask_length:  # no valid start exists
         return jnp.zeros((batch, length), bool)
     mean_spans = mask_prob * length / mask_length
     n_max = max(int(np.floor(mean_spans)) + 1, min_masks)
-    n_starts = length - mask_length + 1
+    n_starts = length - mask_length  # choice(sz - min_len): exclusive bound
     n_max = min(n_max, n_starts)
     k_round, k_starts = jax.random.split(key)
     u = jax.random.uniform(k_round, ())

@@ -14,8 +14,10 @@ def parse_args(argv=None):
                    default=["oliver", "chemistry", "seth", "conan"])
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--config_file", type=str, default="configs/transformer.json")
-    # Tmpt/S2G template flags (reference options.py:13-15); accepted and
-    # threaded through to the legacy baselines that read them
+    # Tmpt/S2G template flags (reference options.py:13-15). Accepted for
+    # CLI parity only — in the reference too, the template path is driven
+    # by config.Model.use_template/template_length (speech2gesture.py:354),
+    # never by these args; configure templates via the model config.
     p.add_argument("--use_template", action="store_true")
     p.add_argument("--template_length", type=int, default=0)
     p.add_argument("--resume", action="store_true")

@@ -171,7 +171,9 @@ def _renorm_55x5(pre_pose):
 
 
 class GeneratorS2GL(nn.Module):
-    """s2glayers Generator (s2glayers.py:303-495), separate-decoder form.
+    """s2glayers Generator (s2glayers.py:303-495), both decoder forms
+    (separate per-part heads, and the fused 6x512 stack at
+    ``separate=False``).
 
     each_dim: (jaw, body, hand, expression) channel split of pose_dim.
     Returns poses (B, T, pose_dim) at eval; at train additionally the
@@ -231,12 +233,24 @@ class GeneratorS2GL(nn.Module):
                     pre_pose = SeqTranslator1DExact(
                         self.common_dim, layers=5,
                         name="pre_pose_encoder")(pp, train)
-                if template is None:
-                    b = in_spec.shape[0]
-                    template = (jax.random.normal(
-                        k_t, (b, gen_length, self.template_length))
-                        if k_t is not None else
-                        jnp.zeros((b, gen_length, self.template_length)))
+                # torch ALWAYS redraws the template here — a caller-passed
+                # template is discarded (s2glayers.py:449,453)
+                b = in_spec.shape[0]
+                template = (jax.random.normal(
+                    k_t, (b, gen_length, self.template_length))
+                    if k_t is not None else
+                    jnp.zeros((b, gen_length, self.template_length)))
+            elif gt_poses is not None:
+                # s2glayers.py:458 — template from pre_pose_encoder over the
+                # non-expression gt channels. Upstream this branch is dead
+                # bit-rot: it leaves torch's ``pre_pose`` unbound
+                # (UnboundLocalError at the audio_encoder call) and yields a
+                # common_dim-wide template where the UNet stem was built for
+                # template_length. The declared dataflow is carried; the
+                # flax twin runs it because conv in-widths are inferred.
+                template = SeqTranslator1DExact(
+                    self.common_dim, layers=5,
+                    name="pre_pose_encoder")(gt_poses[:, :, :-50], train)
             elif template is None:
                 b = in_spec.shape[0]
                 template = (jax.random.normal(
@@ -253,18 +267,29 @@ class GeneratorS2GL(nn.Module):
             pose=False, template_length=self.template_length,
             name="speech_encoder")(in_spec, train=train)
 
-        out = []
-        n_dec = 4 if self.expression else 3
-        widths = [64, self.common_dim, self.common_dim, 256]
-        for i in range(n_dec):
-            src = s_f if i in (0, 3) else a_t_f
-            mid = src
-            for j in range(3):
-                mid = CNRf(widths[i], name=f"decoder_{i}_{j}")(mid, train)
-            mid = nn.Conv(self.each_dim[i], (1,),
-                          name=f"final_out_{i}")(mid)
-            out.append(mid)
-        out = jnp.concatenate(out, axis=-1)
+        if self.separate:
+            out = []
+            n_dec = 4 if self.expression else 3
+            widths = [64, self.common_dim, self.common_dim, 256]
+            for i in range(n_dec):
+                src = s_f if i in (0, 3) else a_t_f
+                mid = src
+                for j in range(3):
+                    mid = CNRf(widths[i], name=f"decoder_{i}_{j}")(mid, train)
+                mid = nn.Conv(self.each_dim[i], (1,),
+                              name=f"final_out_{i}")(mid)
+                out.append(mid)
+            out = jnp.concatenate(out, axis=-1)
+        else:
+            # fused form (s2glayers.py:408-417,483-485): 6x CNR(512) over
+            # a_t_f + one pose_dim head. Upstream declares decoder_in=320
+            # (s2glayers.py:373) but a_t_f is common_dim(=256)-wide, so the
+            # torch original crashes if ever run with separate=False; the
+            # flax twin infers the in-width and carries the declared stack.
+            mid = a_t_f
+            for j in range(6):
+                mid = CNRf(512, name=f"decoder_{j}")(mid, train)
+            out = nn.Conv(self.pose_dim, (1,), name="final_out")(mid)
 
         if bt:
             if w_pre:

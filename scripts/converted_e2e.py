@@ -74,13 +74,23 @@ def main():
         pfc.log("convtorch arm: gen npz exists, skipping")
         return
 
+    def load_wrapper_ckpt(kind):
+        # prefer the small durable *_final.pth (state-only, harvested into
+        # git so this proof is reproducible after the experiments/ wipe);
+        # fall back to the in-place resume checkpoint if it is complete
+        for name in (f"torch_{kind}_{pfc.STEPS}_final.pth",
+                     f"torch_{kind}_{pfc.STEPS}.pth"):
+            path = os.path.join(pfc.DIR, name)
+            if os.path.exists(path):
+                ck = torch.load(path, map_location="cpu", weights_only=False)
+                assert ck["step"] >= pfc.STEPS, (name, ck["step"])
+                return ck
+        raise FileNotFoundError(
+            f"no complete torch_{kind} checkpoint in {pfc.DIR}")
+
     saved_vq = pfc.load_torch_vq()
-    pred_ck = torch.load(os.path.join(pfc.DIR, f"torch_pred_{pfc.STEPS}.pth"),
-                         map_location="cpu", weights_only=False)
-    ref_ck = torch.load(os.path.join(pfc.DIR, f"torch_ref_{pfc.STEPS}.pth"),
-                        map_location="cpu", weights_only=False)
-    assert pred_ck["step"] >= pfc.STEPS, pred_ck["step"]
-    assert ref_ck["step"] >= pfc.STEPS, ref_ck["step"]
+    pred_ck = load_wrapper_ckpt("pred")
+    ref_ck = load_wrapper_ckpt("ref")
 
     vq = VQVAE(in_dim=376, embedding_dim=512, num_codes=128, groups=4,
                hiddens=1024, res_layers=2)

@@ -26,6 +26,9 @@ for p in \
     experiments/demo_ckpt/emb_fe experiments/demo_ckpt/emb_bh \
     experiments/demo_ckpt/emb_fbhe \
     experiments/parity/torch_vq_1500_final.pth \
+    experiments/parity_full/torch_pred_600_final.pth \
+    experiments/parity_full/torch_ref_600_final.pth \
+    experiments/conv.done \
     experiments/parity_full/gen_torch.npz \
     experiments/parity_full/gen_torch_s1.npz \
     experiments/parity_full/gen_torch_parts \
@@ -50,6 +53,9 @@ if [ "$total" -gt 1500 ]; then
 fi
 
 git add -f "${paths[@]}"
+# never commit a transient atomic-write temp (atomic_savez's *.tmp.npz,
+# torch's .pth.tmp) caught mid-write while a queue is still generating
+git reset -q HEAD -- ':(glob)experiments/**/*.tmp' ':(glob)experiments/**/*.tmp.npz' || true
 if git diff --cached --quiet; then
   echo "no new evidence"; exit 0
 fi

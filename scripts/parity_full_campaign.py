@@ -262,7 +262,29 @@ def train_torch_wrapper(kind: str):
     log(f"torch_{kind} trained in {time.time()-t0:.0f}s")
     torch.save({"state": wrapper.state_dict(), "step": STEPS}, ckpt + ".tmp")
     os.replace(ckpt + ".tmp", ckpt)
+    write_final_wrapper_ckpt(kind)
     return wrapper
+
+
+def write_final_wrapper_ckpt(kind: str):
+    """Distill the (large, in-place-rewritten) resume checkpoint into the
+    small durable ``torch_{kind}_{STEPS}{TAG}_final.pth`` (state only,
+    written atomically once step==STEPS) — the artifact harvest_evidence.sh
+    commits so converted_e2e.py stays reproducible after the experiments/
+    wipe (ADVICE r3 applied the same split to the VQ side)."""
+    import torch
+
+    ckpt = os.path.join(DIR, f"torch_{kind}_{STEPS}{TORCH_TAG}.pth")
+    final = os.path.join(DIR, f"torch_{kind}_{STEPS}{TORCH_TAG}_final.pth")
+    if os.path.exists(final) or not os.path.exists(ckpt):
+        return
+    saved = torch.load(ckpt, map_location="cpu", weights_only=False)
+    if saved["step"] < STEPS:
+        return
+    torch.save({"state": saved["state"], "step": saved["step"]},
+               final + ".tmp")
+    os.replace(final + ".tmp", final)
+    log(f"torch_{kind} final artifact -> {final}")
 
 
 def gen_torch():

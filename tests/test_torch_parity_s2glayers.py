@@ -178,6 +178,63 @@ class TestGeneratorWPre:
         np.testing.assert_allclose(np.asarray(out), g_out, **TOL)
 
 
+class TestGeneratorEvalSemantics:
+    def test_pre_poses_discards_passed_template(self, rng, zero_randn):
+        """torch ALWAYS redraws the template when pre_poses is given
+        (s2glayers.py:449,453) — a caller-passed template is ignored. The
+        flax twin must do the same."""
+        tg = _build_torch_gen(training=False)
+        spec = rng.normal(size=(1, T, 256)).astype(np.float32)
+        pre = rng.normal(size=(1, 15, POSE_DIM)).astype(np.float32)
+        junk = rng.normal(size=(1, T, TLEN)).astype(np.float32)
+        with torch.no_grad():
+            golden = t2n(tg(torch.from_numpy(spec), torch.from_numpy(pre),
+                            None, template=torch.from_numpy(
+                                junk.transpose(0, 2, 1)),
+                            time_steps=T, w_pre=True))
+
+        variables = convert_s2glayers_g(tg.state_dict())
+        out = np.asarray(_flax_gen().apply(
+            variables, jnp.asarray(spec), pre_poses=jnp.asarray(pre),
+            template=jnp.asarray(junk), time_steps=T, w_pre=True))
+        np.testing.assert_allclose(out, golden, **TOL)
+        # and it equals the no-template call bit-for-bit
+        out_none = np.asarray(_flax_gen().apply(
+            variables, jnp.asarray(spec), pre_poses=jnp.asarray(pre),
+            time_steps=T, w_pre=True))
+        np.testing.assert_array_equal(out, out_none)
+
+    def test_separate_false_fused_decoder(self, rng, zero_randn):
+        """separate=False is bit-rotted upstream (decoder_in=320 declared,
+        s2glayers.py:373, vs the 256-wide a_t_f actually fed at :483):
+        the torch original crashes; the flax twin carries the declared
+        6x512 fused stack and runs."""
+        s2gl = ref_import("nets.spg.s2glayers")
+        torch.manual_seed(4)
+        tg = s2gl.Generator(n_poses=T, pose_dim=POSE_DIM, pose=55,
+                            n_pre_poses=4, each_dim=list(EACH_DIM),
+                            dim_list=None, use_template=True,
+                            template_length=TLEN, training=False,
+                            device="cpu", separate=False, expression=True)
+        tg.eval()
+        spec = torch.zeros(1, T, 256)
+        with torch.no_grad(), pytest.raises(RuntimeError):
+            # template=None -> randn template drawn, reaches the fused
+            # decoder, which declares 320 in-channels but receives 256.
+            # (A caller-PASSED template dies even earlier upstream: the
+            # `elif template is None` miss leaves pre_pose unbound.)
+            tg(spec, None, None, template=None, time_steps=T)
+
+        import jax
+
+        gen = GeneratorS2GL(pose_dim=POSE_DIM, each_dim=EACH_DIM, n_poses=T,
+                            template_length=TLEN, separate=False)
+        x = jnp.asarray(rng.normal(size=(1, T, 256)).astype(np.float32))
+        variables = gen.init(jax.random.key(0), x, time_steps=T)
+        out = gen.apply(variables, x, time_steps=T)
+        assert out.shape == (1, T, POSE_DIM)
+
+
 class TestDiscriminator:
     def test_patch_logits(self, rng):
         s2gl = ref_import("nets.spg.s2glayers")
