@@ -281,8 +281,10 @@ def write_final_wrapper_ckpt(kind: str):
     saved = torch.load(ckpt, map_location="cpu", weights_only=False)
     if saved["step"] < STEPS:
         return
-    torch.save({"state": saved["state"], "step": saved["step"]},
-               final + ".tmp")
+    # drop the optimizer moments (predictor.py:134 'generator_optim' et al.
+    # — 2/3 of the bytes); the converters only read the module sub-dicts
+    state = {k: v for k, v in saved["state"].items() if "optim" not in k}
+    torch.save({"state": state, "step": saved["step"]}, final + ".tmp")
     os.replace(final + ".tmp", final)
     log(f"torch_{kind} final artifact -> {final}")
 
