@@ -55,6 +55,26 @@ def emit(rec: dict):
         f.write(json.dumps(rec) + "\n")
 
 
+def flush_summary(summary: dict, partial: bool = True):
+    """Write LONG_CAMPAIGN.json NOW (atomically), not only at the end — a
+    campaign killed by session end must still leave its evidence (round 3
+    lost the whole 50k run this way). Curves digest: the full FGD track +
+    every LOG_EVERY'th loss point, small enough to commit."""
+    curves = {}
+    if os.path.exists(TELEMETRY):
+        for line in open(TELEMETRY):
+            r = json.loads(line)
+            curves.setdefault(r["stage"], []).append(r)
+    out = dict(summary)
+    out["partial"] = partial
+    out["n_telemetry"] = {k: len(v) for k, v in curves.items()}
+    out["fgd_curve"] = curves.get("fgd", [])
+    out["loss_tail"] = {k: v[-3:] for k, v in curves.items() if k != "fgd"}
+    tmp = OUT + ".tmp"
+    json.dump(out, open(tmp, "w"), indent=2)
+    os.replace(tmp, OUT)
+
+
 def codebook_health(mutables) -> dict:
     """Usage + perplexity per group from the PQ EMA cluster stats
     (quant/pq.py PQState; the health signals the reference's EMA update
@@ -234,6 +254,7 @@ def main():
            for b in ds.fbhe_batches(BS, seed=99, shuffle=False)]
     summary["vq_capacity_l1"] = round(float(np.mean(cap)), 4)
     log(f"vq capacity {summary['vq_capacity_l1']}")
+    flush_summary(summary)
 
     # ---------------- stage 2: predictor (15k) ----------------
     pred = PredictorStage(mot_dim=376, num_code=128, groups=4, aud_dim=AUD)
@@ -273,6 +294,7 @@ def main():
             if i and i % SAVE_EVERY == 0 or i == STEPS_PRED - 1:
                 ck.save(i, pstate)
         log(f"pred stage done in {time.time()-t0:.0f}s")
+    flush_summary(summary)
 
     # ---------------- stage 3: refiner (15k) + FGD track ----------------
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
@@ -338,6 +360,7 @@ def main():
                 scores = fgd_now(rstate, k)
                 emit({"stage": "fgd", "step": i, **scores})
                 log(f"FGD @ ref {i}: {scores}")
+                flush_summary(summary)
             if i and i % SAVE_EVERY == 0 or i == STEPS_REF - 1:
                 ck.save(i, rstate)
         log(f"ref stage done in {time.time()-t0:.0f}s")
@@ -346,14 +369,7 @@ def main():
         summary["fgd_final"] = fgd_now(rstate, jax.random.key(77))
         log(f"final FGD: {summary['fgd_final']}")
 
-    # loss/health curves digest from telemetry
-    curves = {"vq": [], "pred": [], "ref": [], "fgd": []}
-    if os.path.exists(TELEMETRY):
-        for line in open(TELEMETRY):
-            r = json.loads(line)
-            curves.setdefault(r["stage"], []).append(r)
-    summary["n_telemetry"] = {k: len(v) for k, v in curves.items()}
-    json.dump(summary, open(OUT, "w"), indent=2)
+    flush_summary(summary, partial=False)
     log(f"wrote {OUT}")
 
 
