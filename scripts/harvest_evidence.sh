@@ -28,6 +28,8 @@ for p in \
     experiments/parity/torch_vq_1500_final.pth \
     experiments/parity_full/torch_pred_600_final.pth \
     experiments/parity_full/torch_ref_600_final.pth \
+    experiments/parity_full/torch_pred_600_s1_final.pth \
+    experiments/parity_full/torch_ref_600_s1_final.pth \
     experiments/conv.done \
     experiments/parity_full/gen_torch.npz \
     experiments/parity_full/gen_torch_s1.npz \
