@@ -25,7 +25,7 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
                  max_sessions=None, raw: bool = False, seed: int = 0,
                  pcm: bool = False, w2v_ckpt=None, w2v_arch: str = "wav2vec2",
                  wav_int16: bool = False, emit_f16: bool = False,
-                 idle_ttl=None, face_path=None):
+                 idle_ttl=None, face_path=None, w2v_f32: bool = False):
     """Stages via the demo's builder; returns a ready ServingEngine.
 
     pcm=True serves raw 16 kHz audio: the acoustic frontend (w2v_arch
@@ -68,12 +68,16 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
 
         from probtalk_tpu.audio.wav2vec2 import Wav2Vec2Encoder
 
+        # bf16 frontend compute is the measured-best serving config on TPU
+        # (+5% end-to-end vs f32, bench.py matrix; norms/softmax stay f32,
+        # deviation pinned by tests/test_wav2vec2.py). --w2v_f32 opts out.
+        fdt = None if w2v_f32 else jnp.bfloat16
         if w2v_arch == "hubert":
             from probtalk_tpu.audio.hubert import HubertEncoder
 
-            w2v = HubertEncoder()
+            w2v = HubertEncoder(dtype=fdt)
         else:
-            w2v = Wav2Vec2Encoder()
+            w2v = Wav2Vec2Encoder(dtype=fdt)
         if w2v_ckpt:
             import os as _os
 
@@ -155,6 +159,9 @@ def main(argv=None):
     p.add_argument("--w2v_arch", default="wav2vec2",
                    choices=["wav2vec2", "hubert"],
                    help="frontend architecture the checkpoint matches")
+    p.add_argument("--w2v_f32", action="store_true",
+                   help="run the acoustic frontend in f32 (default bf16 "
+                        "compute, the measured-best TPU serving config)")
     p.add_argument("--wav_int16", action="store_true",
                    help="int16 PCM wire (halves the audio upload)")
     p.add_argument("--emit_f16", action="store_true",
@@ -176,6 +183,7 @@ def main(argv=None):
         max_batch=args.max_batch, max_sessions=args.max_sessions,
         raw=args.raw, pcm=args.pcm, w2v_ckpt=args.w2v_ckpt,
         w2v_arch=args.w2v_arch, wav_int16=args.wav_int16,
+        w2v_f32=args.w2v_f32,
         emit_f16=args.emit_f16, idle_ttl=args.idle_ttl,
         face_path=args.face_model_path)
     server = MotionServer(engine, host=args.host, port=args.port,

@@ -15,22 +15,35 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-GRID = [(b, bf16) for b in (16, 32, 64, 128) for bf16 in (0, 1)]
+# dtype modes: 'default' = bf16 Wav2Vec2 frontend + f32 stacks (bench.py
+# default, the measured-best config); 'f32' = everything f32;
+# 'all_bf16' = bf16 stacks too (measured loss at B=16 — the sweep checks
+# whether larger batches flip that).
+GRID = [(b, mode) for b in (16, 32, 64, 128)
+        for mode in ("default", "f32", "all_bf16")]
 
 
 def main():
+    out_path = os.path.join(REPO, "BENCH_SWEEP.json")
     results = []
-    for b, bf16 in GRID:
+    done = set()
+    if os.path.exists(out_path):            # resume: skip completed arms
+        results = json.load(open(out_path)).get("grid", [])
+        done = {(r["batch"], r["dtype"]) for r in results}
+    for b, mode in GRID:
+        if (b, mode) in done:
+            print(f"=== B={b} dtype={mode} (cached)", flush=True)
+            continue
         env = dict(os.environ)
         env["BENCH_B"] = str(b)
         env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
-        if bf16:
+        env.pop("BENCH_BF16", None)
+        env.pop("BENCH_W2V_F32", None)
+        if mode == "f32":
+            env["BENCH_W2V_F32"] = "1"
+        elif mode == "all_bf16":
             env["BENCH_BF16"] = "1"
-            env["BENCH_W2V_BF16"] = "1"
-        else:
-            env.pop("BENCH_BF16", None)
-            env.pop("BENCH_W2V_BF16", None)
-        print(f"=== B={b} bf16={bf16}", flush=True)
+        print(f"=== B={b} dtype={mode}", flush=True)
         p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                            capture_output=True, text=True, timeout=3600,
                            env=env)
@@ -39,15 +52,21 @@ def main():
             print(f"  FAILED: {p.stderr[-500:]}", flush=True)
             continue
         r = json.loads(line[-1])
-        r.update(batch=b, bf16=bool(bf16))
+        r.update(batch=b, dtype=mode)
         results.append(r)
         print(f"  {r['value']} {r['unit']}", flush=True)
-    results.sort(key=lambda r: -r["value"])
-    out = {"grid": results,
-           "best": results[0] if results else None}
-    json.dump(out, open(os.path.join(REPO, "BENCH_SWEEP.json"), "w"),
-              indent=2)
-    print(json.dumps(out["best"]))
+        _write(out_path, results)            # incremental: survives a kill
+    _write(out_path, results)
+    print(json.dumps(max(results, key=lambda r: r["value"])
+                     if results else None))
+
+
+def _write(path, results):
+    ranked = sorted(results, key=lambda r: -r["value"])
+    out = {"grid": ranked, "best": ranked[0] if ranked else None}
+    tmp = path + ".tmp"
+    json.dump(out, open(tmp, "w"), indent=2)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":
