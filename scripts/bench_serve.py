@@ -13,6 +13,8 @@ Modes:
   SERVE_BENCH_F16OUT=1   float16 device->host output transfer
   SERVE_BENCH_LANES=n    bucket width (default 4)
   SERVE_BENCH_BF16=1     bf16 predictor/refiner stacks
+  SERVE_BENCH_W2V_F32=1  (raw mode) f32 acoustic frontend (default bf16,
+                         matching the cli/serve.py --pcm production default)
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serve.py
 Round-3 numbers recorded in PERFORMANCE.md come from this drive on one
@@ -71,7 +73,11 @@ def main():
                                    init_kwargs={"train": False})
     kw = {}
     if raw:
-        w2v = Wav2Vec2Encoder()
+        # match the production serving default (cli/serve.py --pcm):
+        # bf16 frontend compute, SERVE_BENCH_W2V_F32=1 restores f32
+        w2v = Wav2Vec2Encoder(
+            dtype=None if os.environ.get("SERVE_BENCH_W2V_F32")
+            else jnp.bfloat16)
         w2v_vars = jax.jit(lambda r, x: w2v.init(r, x, n_frames=t))(
             jax.random.key(4), jnp.zeros((1, sr), jnp.float32))
         kw.update(frontend=(w2v, w2v_vars), sr=sr, fps=30,

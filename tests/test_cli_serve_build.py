@@ -1,0 +1,92 @@
+"""Wiring tests for cli/serve.py build_engine's acoustic-frontend config.
+
+The serving frontend defaults to bf16 compute (the measured-best TPU
+config, bench.py dtype matrix) with --w2v_f32 as the opt-out; these tests
+pin that flag threading without building the real pipeline (heavy), by
+stubbing the pipeline builder, the engine, and the frontend init.
+"""
+
+from __future__ import annotations
+
+import types
+
+import jax.numpy as jnp
+import pytest
+
+from probtalk_tpu.cli import serve as serve_cli
+
+
+class _PipeStub:
+    vq_model = object()
+    vq_variables = {}
+    predictor_stage = object()
+    predictor_state = object()
+    refiner_stage = object()
+    refiner_state = object()
+    window = 180
+    overlap = 30
+
+
+class _EngineStub:
+    """Records the kwargs build_engine hands to ServingEngine."""
+
+    def __init__(self, *args, **kw):
+        self.args = args
+        self.kw = kw
+
+
+@pytest.fixture()
+def patched(monkeypatch):
+    import probtalk_tpu.audio.hubert as hubert_mod
+    import probtalk_tpu.audio.wav2vec2 as w2v_mod
+    import probtalk_tpu.cli.demo as demo_mod
+    import probtalk_tpu.serve.engine as engine_mod
+
+    monkeypatch.setattr(demo_mod, "build_pipeline",
+                        lambda *a, **k: (_PipeStub(), None, None))
+    monkeypatch.setattr(engine_mod, "ServingEngine", _EngineStub)
+    # skip the real (expensive) random-init; variables are irrelevant here.
+    # HubertEncoder is a Wav2Vec2Encoder factory, so one patch covers both.
+    monkeypatch.setattr(w2v_mod.Wav2Vec2Encoder, "init",
+                        lambda self, *a, **k: {}, raising=True)
+    return types.SimpleNamespace(w2v=w2v_mod, hubert=hubert_mod)
+
+
+def _frontend(engine):
+    module, _variables = engine.kw["frontend"]
+    return module
+
+
+@pytest.mark.smoke
+def test_pcm_frontend_defaults_to_bf16(patched):
+    eng = serve_cli.build_engine(None, "unused", raw=True, pcm=True)
+    mod = _frontend(eng)
+    assert isinstance(mod, patched.w2v.Wav2Vec2Encoder)
+    assert mod.dtype == jnp.bfloat16
+
+
+@pytest.mark.smoke
+def test_w2v_f32_opts_out(patched):
+    eng = serve_cli.build_engine(None, "unused", raw=True, pcm=True,
+                                 w2v_f32=True)
+    assert _frontend(eng).dtype is None
+
+
+@pytest.mark.smoke
+def test_hubert_arch_gets_same_dtype_policy(patched):
+    eng = serve_cli.build_engine(None, "unused", raw=True, pcm=True,
+                                 w2v_arch="hubert")
+    mod = _frontend(eng)
+    # HubertEncoder is a Wav2Vec2Encoder factory (hubert.py:32-34)
+    assert isinstance(mod, patched.w2v.Wav2Vec2Encoder)
+    assert mod.dim == 1024 and mod.layers == 24
+    assert mod.dtype == jnp.bfloat16
+
+
+@pytest.mark.smoke
+def test_cli_exposes_w2v_f32_flag():
+    # the argparse surface must carry the opt-out and thread it through
+    # (cli/serve.py main -> build_engine(w2v_f32=args.w2v_f32))
+    src = open(serve_cli.__file__).read()
+    assert '"--w2v_f32"' in src
+    assert "w2v_f32=args.w2v_f32" in src
