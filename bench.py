@@ -42,25 +42,27 @@ def main():
     )
     from probtalk_tpu.train.state import create_train_state, adamw
 
-    # B=16 = the reference eval harness's diversity-sample batch
+    # B=64 + bf16 everywhere = the measured-best serving config from the
+    # round-4 batch x dtype sweep on the real chip (BENCH_SWEEP.json:
+    # 137.3k frames/s vs 131.8k at the old B=16 default). B=16 is the
+    # reference eval harness's diversity-sample batch
     # (scripts/test_holisticbody.py B=16); per-sample latency is ~the same
     # as B=1 (dispatch-bound, see PERFORMANCE.md). BENCH_B sweeps the
     # serving batch (throughput amortizes the fixed dispatch cost).
     cm, ca, t = 376, 768, 180
-    b = int(os.environ.get("BENCH_B", 16))
+    b = int(os.environ.get("BENCH_B", 64))
     sr = 16000
     wav_len = t * sr // 30                      # 6 s of 16 kHz audio
 
     # real-size stages (randomly initialized — throughput only)
-    # Serving dtype config (measured matrix, real TPU, B=16, round 4):
-    #   f32 everywhere          125.2k frames/s
-    #   w2v bf16 (default)      131.4k  (+5%; FE convs + encoder on MXU
-    #                                    bf16 rate, norms/softmax stay f32,
-    #                                    bf16-vs-f32 deviation pinned by
-    #                                    tests/test_wav2vec2.py)
-    #   pred/refiner bf16       124.2k  (a LOSS at these (92, 512)-token
-    #                                    shapes — BENCH_BF16 stays opt-in)
-    # BENCH_W2V_F32=1 restores the all-f32 frontend.
+    # Serving dtype config (measured matrix, real TPU, round 4,
+    # BENCH_SWEEP.json): at B=16 bf16 stacks LOSE (124.6k vs 131.8k —
+    # too few tokens to fill the MXU, cast overhead dominates) but at
+    # B=64 they win (137.3k vs 135.3k) and f32-everything trails at every
+    # batch. Default = the best measured arm: B=64, bf16 frontend + bf16
+    # stacks (norms/softmax stay f32 inside the modules; bf16-vs-f32
+    # deviation pinned by tests/test_wav2vec2.py).
+    # BENCH_BF16=0 restores f32 stacks; BENCH_W2V_F32=1 the f32 frontend.
     w2v = Wav2Vec2Encoder(
         dtype=None if os.environ.get("BENCH_W2V_F32") else jnp.bfloat16)
     w2v_vars = jax.jit(lambda r, x: w2v.init(r, x, n_frames=30))(
@@ -73,8 +75,10 @@ def main():
         {"params": jax.random.key(0), "quant": jax.random.key(1)}, x)
 
     # BENCH_BF16: bf16 compute for the transformer stacks (norms stay f32
-    # inside the modules; the MXU is bf16-native)
-    sdt = jnp.bfloat16 if os.environ.get("BENCH_BF16") else None
+    # inside the modules; the MXU is bf16-native). Default ON per the
+    # sweep; set BENCH_BF16=0 for f32 stacks.
+    sdt = (jnp.bfloat16
+           if os.environ.get("BENCH_BF16", "1") not in ("", "0") else None)
     pred_stage = PredictorStage(mot_dim=cm, num_code=128, groups=4,
                                 dec_layers=6, aud_dim=ca, maskgit_T=8,
                                 dtype=sdt)

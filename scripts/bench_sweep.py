@@ -15,10 +15,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# dtype modes: 'default' = bf16 Wav2Vec2 frontend + f32 stacks (bench.py
-# default, the measured-best config); 'f32' = everything f32;
-# 'all_bf16' = bf16 stacks too (measured loss at B=16 — the sweep checks
-# whether larger batches flip that).
+# dtype modes (fixed label->config mapping, independent of bench.py's
+# defaults so recorded arms stay comparable across rounds):
+#   'default'  = bf16 Wav2Vec2 frontend + f32 stacks
+#   'f32'      = everything f32
+#   'all_bf16' = bf16 frontend + bf16 stacks (bench.py's default since
+#                round 4 — the sweep's best arm at B=64)
 GRID = [(b, mode) for b in (16, 32, 64, 128)
         for mode in ("default", "f32", "all_bf16")]
 
@@ -37,8 +39,8 @@ def main():
         env = dict(os.environ)
         env["BENCH_B"] = str(b)
         env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
-        env.pop("BENCH_BF16", None)
         env.pop("BENCH_W2V_F32", None)
+        env["BENCH_BF16"] = "0"             # explicit: labels, not defaults
         if mode == "f32":
             env["BENCH_W2V_F32"] = "1"
         elif mode == "all_bf16":

@@ -31,9 +31,15 @@ sys.path.insert(0, REPO)
 
 REF = "/root/reference"
 CACHE = os.environ.get("PROBTALK_CACHE", "/tmp/ptlk_cache_r2")
-DIR = os.path.join(REPO, "experiments", "long_campaign")
+# LC_SEED: campaign seed (repeatability evidence). Seed 0 is the canonical
+# round-4 run (LONG_CAMPAIGN.json); any other seed trains in its own
+# directory with disjoint RNG streams and writes LONG_CAMPAIGN_s{N}.json,
+# so runs never mix checkpoints or telemetry.
+SEED = int(os.environ.get("LC_SEED", 0))
+_SFX = f"_s{SEED}" if SEED else ""
+DIR = os.path.join(REPO, "experiments", f"long_campaign{_SFX}")
 TELEMETRY = os.path.join(DIR, "telemetry.jsonl")
-OUT = os.path.join(REPO, "LONG_CAMPAIGN.json")
+OUT = os.path.join(REPO, f"LONG_CAMPAIGN{_SFX}.json")
 EMB_DIR = os.path.join(REPO, "experiments", "demo_ckpt")
 
 STEPS_VQ = int(os.environ.get("LC_STEPS_VQ", 20000))
@@ -144,7 +150,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     os.makedirs(DIR, exist_ok=True)
     check_scheme()
-    log(f"backend: {jax.default_backend()}")
+    log(f"backend: {jax.default_backend()} seed: {SEED}")
+
+    def K(n):
+        """Campaign RNG stream: disjoint per LC_SEED (init + step keys)."""
+        return jax.random.key(SEED * 1000 + n)
 
     from probtalk_tpu.cli.data_build import build_cache, load_cached_clips
     from probtalk_tpu.data.dataset import WindowedDataset
@@ -218,13 +228,13 @@ def main():
     vq = VQVAE(in_dim=376, embedding_dim=512, num_codes=128, groups=4,
                hiddens=1024, res_layers=2)
     x0 = jnp.zeros((BS, WINDOW, 376), jnp.float32)
-    vq_state = create_train_state(vq, (x0,), jax.random.key(0), adamw(1e-4),
+    vq_state = create_train_state(vq, (x0,), K(0), adamw(1e-4),
                                   init_kwargs={"train": True})
     ck = StepCkpt("vq")
     vq_state, start = ck.restore(vq_state)
     if start < STEPS_VQ:
         step = make_vq_train_step(vq, donate=False)
-        it, key = batches(0), jax.random.key(1)
+        it, key = batches(SEED * 1000), K(1)
         t0 = time.time()
         for i in range(STEPS_VQ):
             thunk = next(it)
@@ -263,13 +273,13 @@ def main():
     spk0 = jnp.zeros((BS,), jnp.int32)
     aud0 = jnp.zeros((BS, WINDOW, AUD), jnp.float32)
     pstate = create_train_state(pred, (x0, codes0, mask0, spk0, aud0),
-                                jax.random.key(2), adamw(1e-4),
+                                K(2), adamw(1e-4),
                                 init_kwargs={"train": True})
     ck = StepCkpt("pred")
     pstate, start = ck.restore(pstate)
     if start < STEPS_PRED:
         pstep = make_predictor_train_step(pred, vq, vq_vars, donate=False)
-        it, key = batches(100), jax.random.key(3)
+        it, key = batches(SEED * 1000 + 100), K(3)
         t0 = time.time()
         for i in range(STEPS_PRED):
             thunk = next(it)
@@ -299,7 +309,7 @@ def main():
     # ---------------- stage 3: refiner (15k) + FGD track ----------------
     ref = RefinerStage(in_dim=376, aud_dim=AUD)
     rstate = create_train_state(ref, (x0, aud0, mask0, spk0),
-                                jax.random.key(4), adamw(1e-4),
+                                K(4), adamw(1e-4),
                                 init_kwargs={"train": True})
     ck = StepCkpt("ref")
     rstate, start = ck.restore(rstate)
@@ -337,7 +347,7 @@ def main():
 
     if start < STEPS_REF:
         rstep = make_refiner_train_step(ref, vq, vq_vars, donate=False)
-        it, key = batches(200), jax.random.key(5)
+        it, key = batches(SEED * 1000 + 200), K(5)
         t0 = time.time()
         for i in range(STEPS_REF):
             thunk = next(it)
@@ -366,7 +376,7 @@ def main():
         log(f"ref stage done in {time.time()-t0:.0f}s")
 
     if fgd_ready:
-        summary["fgd_final"] = fgd_now(rstate, jax.random.key(77))
+        summary["fgd_final"] = fgd_now(rstate, K(77))
         log(f"final FGD: {summary['fgd_final']}")
 
     flush_summary(summary, partial=False)
