@@ -40,7 +40,13 @@ class FastCkpt:
     def restore(self, template) -> Tuple[Optional[object], int]:
         """Returns (state, step) or (None, -1) when no checkpoint exists.
         ``template`` must have the same pytree structure as what was
-        saved (leaves are matched positionally)."""
+        saved (leaves are matched positionally).
+
+        Leaves come back as HOST numpy arrays (np.load mmap semantics).
+        Callers that keep using the state in jitted code must
+        ``jax.device_put`` the tree ONCE — numpy leaves in jit arguments
+        are re-uploaded on every call, which over the axon tunnel turns a
+        ~25 ms train step into ~10 s for a 468 MB state."""
         if not os.path.exists(self.path):
             return None, -1
         with np.load(self.path) as z:

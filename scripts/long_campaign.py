@@ -135,6 +135,14 @@ class StepCkpt:
         restored, step = self.ck.restore(state)
         if restored is None:
             return state, 0
+        # Commit the restored host-numpy leaves to device ONCE. Without
+        # this, a skip-resumed stage keeps numpy leaves in every downstream
+        # jit argument, and each call re-streams the whole state over the
+        # tunnel (~10 s/step for the 468 MB VQ state — observed as a
+        # <1 step/s pred stage after a vq skip-resume).
+        import jax
+
+        restored = jax.device_put(restored)
         log(f"{self.name}: resumed at step {step + 1}")
         return restored, step + 1
 
