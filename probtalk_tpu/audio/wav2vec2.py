@@ -49,6 +49,13 @@ def compute_mask_spans(key: jax.Array, batch: int, length: int,
     overlap-dedup differences (every row already shares ``num_mask``);
     it is dropped here — masked-position counts may differ across rows
     by span overlap, which the substitution semantics don't care about.
+
+    Documented deviation at degenerate lengths: for ``length <=
+    mask_length`` this returns an EMPTY mask (no full span fits), where
+    the reference's ``min_len = min(mask_length, sz - 1)`` fallback
+    shrinks the span and still masks. Production windows (60/180 frames
+    vs mask_length 10) never enter this regime; short-window training
+    would need the fallback replicated.
     """
     if mask_length < 1 or length <= mask_length:  # no valid start exists
         return jnp.zeros((batch, length), bool)

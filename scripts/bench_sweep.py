@@ -46,9 +46,13 @@ def main():
         elif mode == "all_bf16":
             env["BENCH_BF16"] = "1"
         print(f"=== B={b} dtype={mode}", flush=True)
-        p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                           capture_output=True, text=True, timeout=3600,
-                           env=env)
+        try:  # a hung arm must not abort the remaining grid (ADVICE r4)
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, timeout=3600, env=env)
+        except subprocess.TimeoutExpired:
+            print(f"  FAILED: timeout after 3600s", flush=True)
+            continue
         line = [l for l in p.stdout.splitlines() if l.startswith("{")]
         if not line:
             print(f"  FAILED: {p.stderr[-500:]}", flush=True)

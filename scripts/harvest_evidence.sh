@@ -54,6 +54,35 @@ if [ "$total" -gt 1500 ]; then
   echo "harvest too large (${total} MB > 1500 MB), refusing"; exit 1
 fi
 
+# guard 2 (ADVICE r4 / VERDICT r4 item 6): the per-invocation cap above
+# does not bound HISTORY growth — every harvest adds blobs permanently
+# (git history is immutable; deleting files later doesn't shrink clones).
+# Cap the bytes that are NEW to git this harvest at 20 MB; a ledger
+# records the cumulative committed-artifact size across rounds. Override
+# for a deliberate large harvest with HARVEST_ALLOW_MB=<n>.
+new_mb=0
+declare -a new_files=()
+for p in "${paths[@]}"; do
+  while IFS= read -r f; do
+    if ! git ls-files --error-unmatch "$f" >/dev/null 2>&1; then
+      sz=$(du -sm "$f" | awk '{print $1}')
+      new_mb=$((new_mb + sz)); new_files+=("$f")
+    fi
+  done < <(find "$p" -type f)
+done
+cap=${HARVEST_ALLOW_MB:-20}
+if [ "$new_mb" -gt "$cap" ]; then
+  echo "harvest adds ${new_mb} MB of NEW blobs (> ${cap} MB cap):"
+  printf '  %s\n' "${new_files[@]}"
+  echo "strip artifacts (weights-only subtrees) or set HARVEST_ALLOW_MB"
+  exit 1
+fi
+ledger=experiments/harvest_ledger.txt
+prev=$( [ -f "$ledger" ] && tail -1 "$ledger" | awk '{print $1}' || echo 0 )
+echo "$((prev + new_mb)) MB cumulative after $(date -u +%F) (+${new_mb})" \
+  >> "$ledger"
+paths+=("$ledger")
+
 git add -f "${paths[@]}"
 # never commit a transient atomic-write temp (atomic_savez's *.tmp.npz,
 # torch's .pth.tmp) caught mid-write while a queue is still generating

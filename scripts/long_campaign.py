@@ -11,8 +11,7 @@ x batch 128, config/transformer.json:66-77), tracking:
     streaming generator, scored by the shared GT-trained embedder trio
 
 Telemetry appends to experiments/long_campaign/telemetry.jsonl; summary to
-LONG_CAMPAIGN.json. Step-granular resume: checkpoints every SAVE_EVERY
-steps, safe to kill/restart at any point.
+LONG_CAMPAIGN.json. Step-granular resume: wall-clock-cadence checkpoints (StepCkpt.SAVE_SECS), safe to kill/restart at any point.
 
 Run (daemon): nohup setsid python scripts/long_campaign.py &
 """
@@ -46,7 +45,6 @@ STEPS_VQ = int(os.environ.get("LC_STEPS_VQ", 20000))
 STEPS_PRED = int(os.environ.get("LC_STEPS_PRED", 15000))
 STEPS_REF = int(os.environ.get("LC_STEPS_REF", 15000))
 LOG_EVERY = 250
-SAVE_EVERY = 1000
 FGD_EVERY = int(os.environ.get("LC_FGD_EVERY", 2500))
 BS, WINDOW, AUD = 8, 176, 64
 
@@ -123,13 +121,27 @@ def check_scheme():
 class StepCkpt:
     """Step-granular resume for one stage (flat-npz FastCkpt: orbax
     serialization of a ~600 MB TrainState is 10+ min on this 1-core
-    host — longer than the compute between saves; FastCkpt is seconds)."""
+    host — longer than the compute between saves; FastCkpt is seconds).
+
+    Saves are WALL-CLOCK driven (``maybe_save``): round 4 lost two pred
+    chunks because the fixed 1000-step cadence outlasted the ~10 min
+    session chunk budget (LONG_CAMPAIGN_s1.json loss_tail showed step
+    250 -> restart at 0 twice). A 60 s timer bounds the replay cost of
+    any kill to one minute of compute regardless of steps/s."""
+
+    SAVE_SECS = 60.0
 
     def __init__(self, name):
         from probtalk_tpu.train.fast_ckpt import FastCkpt
 
         self.ck = FastCkpt(os.path.join(DIR, name))
         self.name = name
+        self._last = time.time()
+
+    def maybe_save(self, step, state, final=False):
+        if final or time.time() - self._last >= self.SAVE_SECS:
+            self.ck.save(step, state)
+            self._last = time.time()
 
     def restore(self, state):
         restored, step = self.ck.restore(state)
@@ -261,8 +273,7 @@ def main():
                 emit(rec)
                 log(f"vq {i}: loss {rec['loss']} perp {health['perplexity']}"
                     f" usage {health['usage']}")
-            if i and i % SAVE_EVERY == 0 or i == STEPS_VQ - 1:
-                ck.save(i, vq_state)
+            ck.maybe_save(i, vq_state, final=i == STEPS_VQ - 1)
         log(f"vq stage done in {time.time()-t0:.0f}s")
     vq_vars = {"params": vq_state.params, **vq_state.mutables}
     summary["vq_health_final"] = codebook_health(vq_state.mutables)
@@ -309,8 +320,7 @@ def main():
                        "grad_norm": round(float(m["grad_norm"]), 3)}
                 emit(rec)
                 log(f"pred {i}: ce {rec['ce']} acc {rec['code_acc']}")
-            if i and i % SAVE_EVERY == 0 or i == STEPS_PRED - 1:
-                ck.save(i, pstate)
+            ck.maybe_save(i, pstate, final=i == STEPS_PRED - 1)
         log(f"pred stage done in {time.time()-t0:.0f}s")
     flush_summary(summary)
 
@@ -379,8 +389,7 @@ def main():
                 emit({"stage": "fgd", "step": i, **scores})
                 log(f"FGD @ ref {i}: {scores}")
                 flush_summary(summary)
-            if i and i % SAVE_EVERY == 0 or i == STEPS_REF - 1:
-                ck.save(i, rstate)
+            ck.maybe_save(i, rstate, final=i == STEPS_REF - 1)
         log(f"ref stage done in {time.time()-t0:.0f}s")
 
     if fgd_ready:
