@@ -63,8 +63,11 @@ def main():
     # stacks (norms/softmax stay f32 inside the modules; bf16-vs-f32
     # deviation pinned by tests/test_wav2vec2.py).
     # BENCH_BF16=0 restores f32 stacks; BENCH_W2V_F32=1 the f32 frontend.
+    # BENCH_FE_INT8=int8|int8mm: dynamically-quantized FE conv arms
+    # (frozen-weight serving quantization, audio/wav2vec2.py _Int8Conv)
     w2v = Wav2Vec2Encoder(
-        dtype=None if os.environ.get("BENCH_W2V_F32") else jnp.bfloat16)
+        dtype=None if os.environ.get("BENCH_W2V_F32") else jnp.bfloat16,
+        fe_impl=os.environ.get("BENCH_FE_INT8") or "conv")
     w2v_vars = jax.jit(lambda r, x: w2v.init(r, x, n_frames=30))(
         jax.random.key(9), jnp.zeros((1, sr), jnp.float32))
 
@@ -160,11 +163,44 @@ def main():
 
     frames_per_sec = b * t * iters / dt
     north_star = 1500.0  # 50x real-time at 30 fps
+
+    # MFU (VERDICT r4 item 4): total model FLOPs from the compiled HLO's
+    # own cost model, achieved TF/s over the measured wall time, and
+    # %-of-peak. Peak reference: v5e MXU 197 TFLOP/s bf16; the f32 view
+    # divides by 8 (XLA's f32 dot on this MXU is strictly slower than
+    # bf16 — measured ~8x on the FE convs, W2V_FE_BENCH.json "53 TF/s
+    # f32-effective" vs 394 would be int8). Override with
+    # BENCH_PEAK_TFLOPS for other chips. Best-effort: a backend whose
+    # cost model is unavailable still prints the contract line.
+    mfu = {}
+    try:
+        cost = full_jit.lower(w2v_vars, pred_vars, ref_vars, vq_vars,
+                              jax.random.key(0), wav_np).compile()
+        cost = cost.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"])
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+        achieved = flops * iters / dt / 1e12
+        mfu = {
+            "model_tflops_per_call": round(flops / 1e12, 4),
+            "achieved_tflops": round(achieved, 2),
+            "peak_tflops_bf16": peak,
+            "mfu_bf16_pct": round(100 * achieved / peak, 1),
+            # achieved rate as a multiple of the f32-effective MXU rate
+            # (peak/8): >1 means bf16 execution exceeds what f32 could do
+            "x_of_f32_peak": round(achieved / (peak / 8), 2),
+            "hbm_bytes_per_call": float(cost.get("bytes accessed", -1)),
+        }
+    except Exception as e:                       # noqa: BLE001
+        mfu = {"error": f"cost_analysis unavailable: {e}"}
+
     print(json.dumps({
         "metric": "audio_to_motion_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / north_star, 3),
+        "mfu": mfu,
     }))
 
     if "--breakdown" not in sys.argv:
@@ -192,15 +228,27 @@ def main():
             "maskgit_sample": (pred_vars, jax.random.key(1), feats),
             "pq_decode+refine": (vq_vars, ref_vars, codes, feats),
             "postprocess": (refined,)}
-    out = {}
+    out, stage_mfu = {}, {}
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
     for name, fn in stages.items():
         device_sync(fn(*args[name]))              # warm
         t0 = time.perf_counter()
         for _ in range(20):
             r = fn(*args[name])
         device_sync(r)
-        out[name] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
-    print(json.dumps({"breakdown_ms_per_call": out, "batch": b, "window": t}))
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        out[name] = round(ms, 2)
+        try:
+            c = fn.lower(*args[name]).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            tf = float(c["flops"]) / (ms * 1e-3) / 1e12
+            stage_mfu[name] = {"achieved_tflops": round(tf, 2),
+                               "mfu_bf16_pct": round(100 * tf / peak, 1)}
+        except Exception:                        # noqa: BLE001
+            pass
+    print(json.dumps({"breakdown_ms_per_call": out, "batch": b, "window": t,
+                      "stage_mfu": stage_mfu}))
 
 
 if __name__ == "__main__":

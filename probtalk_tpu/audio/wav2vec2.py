@@ -158,6 +158,84 @@ class _FoldConv(nn.Module):
         return y
 
 
+class _Int8Conv(nn.Module):
+    """Strided VALID 1-D conv in dynamically-quantized int8.
+
+    The FE weights are frozen at serving time, so quantization costs
+    nothing to calibrate: per-output-channel weight scales and a
+    per-tensor activation scale are computed on the fly (both are cheap
+    reductions XLA fuses), the conv runs int8 x int8 -> int32 on the MXU
+    (2x the bf16 rate, 4x less HBM traffic than f32), and the result is
+    rescaled to f32. Param tree (``kernel`` (k, C, O) [+ ``bias``]) is
+    identical to ``nn.Conv`` — converted HF checkpoints load unchanged.
+    Accuracy is bounded by the per-tensor activation quantization;
+    measured against the f32 conv in scripts/bench_w2v_fe.py."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, cin, self.features))
+        xs = (jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True) / 127.0
+              + 1e-12)                                    # (B, 1, 1)
+        ws = jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0 + 1e-12   # (O,)
+        xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+        wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=(self.stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (xs * ws)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class _Int8PatchConv(nn.Module):
+    """im2col int8 conv with PER-OUTPUT-ROW activation scales.
+
+    The conv contraction mixes k time taps, so a direct int8 conv can only
+    carry one activation scale per sample (``_Int8Conv``). Materializing
+    the (B, T_out, k*C) patches makes each output row its own contraction,
+    so each gets its own exact scale — finer quantization at the cost of
+    patch HBM traffic (int8 patches are 4x smaller than the f32 ones that
+    made impl='matmul' lose, W2V_FE_BENCH.json). Param tree identical to
+    ``nn.Conv``."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, cin, self.features))
+        patches = _conv_patches(x, self.kernel, self.stride)  # (B, To, k*C)
+        xs = (jnp.max(jnp.abs(patches), axis=-1, keepdims=True) / 127.0
+              + 1e-12)                                        # (B, To, 1)
+        ws = jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0 + 1e-12  # (O,)
+        pq = jnp.clip(jnp.round(patches / xs), -127, 127).astype(jnp.int8)
+        wq = jnp.clip(jnp.round(w / ws), -127, 127
+                      ).astype(jnp.int8).reshape(self.kernel * cin,
+                                                 self.features)
+        y = jax.lax.dot_general(
+            pq, wq, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (xs * ws)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
 class FeatureExtractor(nn.Module):
     """Raw waveform (B, S) -> (B, S/320, 512).
 
@@ -173,6 +251,8 @@ class FeatureExtractor(nn.Module):
     # 'matmul': im2col matmuls — 2x slower (materialized patches, HBM-bound)
     # 'fold':   phase-folded bf16 matmuls (k=2 -> one dot, k=3 -> two) —
     #           1.5x slower despite bf16 MXU rate (relayout-bound)
+    # 'int8':   dynamically-quantized int8 convs (conv_1..6; frozen-weight
+    #           serving arm — 2x MXU rate, 4x less HBM; see _Int8Conv)
     # A fused Pallas conv+GELU kernel was also measured (16.7 ms, the
     # sublane-strided phase split relayouts) and removed. XLA's 1-D conv
     # lowering wins on this stack; the alternates stay as tested ablations.
@@ -187,6 +267,12 @@ class FeatureExtractor(nn.Module):
                 # ablation arm runs it with dtype=bfloat16 for the MXU rate)
                 h = _FoldConv(dim, k, s, use_bias=self.conv_bias,
                               dtype=self.dtype, name=f"conv_{i}")(h)
+            elif self.impl in ("int8", "int8mm") and i > 0:
+                # conv_0 stays native: cin=1/k=10 has no MXU upside and the
+                # raw waveform is the one input whose dynamic range matters
+                cls = _Int8Conv if self.impl == "int8" else _Int8PatchConv
+                h = cls(dim, k, s, use_bias=self.conv_bias,
+                        name=f"conv_{i}")(h)
             elif self.impl == "matmul":
                 h = _PatchConv(dim, k, s, use_bias=self.conv_bias,
                                dtype=self.dtype, name=f"conv_{i}")(h)

@@ -146,3 +146,12 @@ class PredictorNet(nn.Module):
         if self.decoder_type == "pixel" or self.maskgit:
             return self.decoder.sample(key, label, cond, steps=self.maskgit_T)
         return self.decoder.sample_ar(key, label, cond)
+
+    def sample_max(self, masked_motion, mask, label, audio=None, text=None):
+        """Deterministic one-shot greedy decode (reference sample_max,
+        PTransformer.py:644-655): all tokens masked, one forward, argmax.
+        The noise-free path for converted-checkpoint equivalence
+        (scripts/converted_det.py)."""
+        assert self.decoder_type != "pixel", "greedy decode is PTransformer-only"
+        cond = self._condition(masked_motion, mask, audio, text)
+        return self.decoder.sample_max(label, cond)

@@ -446,16 +446,17 @@ class ServingEngine:
             return len(self._sessions)
 
     def latency_stats(self) -> Dict[str, float]:
-        """p50/p95 over the last 512 windows: device wall per batched call
-        and window-ready -> emitted queueing latency (both ms)."""
+        """p50/p95/p99 over the last 512 windows: device wall per batched
+        call and window-ready -> emitted queueing latency (both ms)."""
         with self._lock:
             out = {}
             for name, buf in (("batch_ms", self._batch_ms),
                               ("queue_ms", self._queue_ms)):
                 if buf:
                     v = np.asarray(buf)
-                    out[f"{name}_p50"] = round(float(np.percentile(v, 50)), 2)
-                    out[f"{name}_p95"] = round(float(np.percentile(v, 95)), 2)
+                    for p in (50, 95, 99):
+                        out[f"{name}_p{p}"] = round(
+                            float(np.percentile(v, p)), 2)
             return out
 
     # ------------------------------------------------------------------

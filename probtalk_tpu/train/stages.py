@@ -125,6 +125,12 @@ class PredictorStage(nn.Module):
         audio, txt = self._encode_conditions(aud, text, False)
         return self.net.sample(key, masked_motion, mask, label, audio, txt)
 
+    def sample_max(self, masked_motion, mask, label, aud, text=None):
+        """Deterministic greedy decode -> codes (B, T/8, G)
+        (reference sample_max, PTransformer.py:644-655)."""
+        audio, txt = self._encode_conditions(aud, text, False)
+        return self.net.sample_max(masked_motion, mask, label, audio, txt)
+
 
 def make_predictor_train_step(stage: PredictorStage, vq_model, vq_variables,
                               donate: bool = True,

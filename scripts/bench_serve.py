@@ -108,17 +108,32 @@ def main():
     eng.pump_all()                                    # warm/compile
     for sid in sids:
         eng.poll(sid)
-    n_iter, frames = 16, 0
+    # SERVE_BENCH_RT=1: fixed real-time input rate (each lane produces
+    # audio at 30 fps wall clock) and per-stream end-to-end latency —
+    # feed-complete -> frames materialized on host — p50/p99 (VERDICT r4
+    # item 7: the SLO quantity, vs the saturation throughput below).
+    rt = bool(os.environ.get("SERVE_BENCH_RT"))
+    n_iter, frames = (32 if rt else 16), 0
+    period = step / 30.0
+    lat_ms = []
     t0 = time.time()
     for it in range(n_iter):
+        if rt:
+            target = t0 + it * period
+            now = time.time()
+            if now < target:
+                time.sleep(target - now)
         lo, hi = u(t + it * step), u(t + (it + 1) * step)
+        t_fed = {}
         for sid in sids:
             eng.feed(sid, feats[lo:hi], pump=False)
+            t_fed[sid] = time.time()
         frames += lanes * step
         eng.pump_all()
         for sid in sids:                              # materialize outputs
             out = eng.poll(sid)
             assert out.shape[0] == step, out.shape
+            lat_ms.append((time.time() - t_fed[sid]) * 1e3)
     dt = time.time() - t0
     mode = ("raw-int16" if raw and int16 else "raw-f32" if raw else "feature")
     result = {
@@ -129,6 +144,11 @@ def main():
         "x_realtime_30fps": round(frames / dt / 30, 1),
         **eng.latency_stats(),
     }
+    if rt:
+        v = np.asarray(lat_ms)
+        result.update(rt_paced=True,
+                      latency_ms_p50=round(float(np.percentile(v, 50)), 1),
+                      latency_ms_p99=round(float(np.percentile(v, 99)), 1))
     print(json.dumps(result))
     return result
 

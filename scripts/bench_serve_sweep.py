@@ -63,9 +63,27 @@ def main():
             continue
         r = json.loads(line[-1])
         r["dtype"] = mode                    # sweep label (stage_dtype has
-        results.append(r)                    # the raw bf16/f32 flag)
+        # second pass, same arm: fixed real-time input rate -> per-stream
+        # end-to-end latency p50/p99 (VERDICT r4 item 7 — the SLO column
+        # next to the saturation throughput above)
+        env_rt = dict(env, SERVE_BENCH_RT="1")
+        try:
+            p2 = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "bench_serve.py")],
+                capture_output=True, text=True, timeout=3600, env=env_rt)
+            line2 = [l for l in p2.stdout.splitlines() if l.startswith("{")]
+            if line2:
+                r2 = json.loads(line2[-1])
+                r["latency_ms_p50"] = r2.get("latency_ms_p50")
+                r["latency_ms_p99"] = r2.get("latency_ms_p99")
+        except subprocess.TimeoutExpired:
+            print("  latency pass timed out; throughput kept", flush=True)
+        results.append(r)                    # the raw bf16/f32 flag
         print(f"  {r['frames_per_s']} frames/s "
-              f"({r['x_realtime_30fps']}x RT)", flush=True)
+              f"({r['x_realtime_30fps']}x RT) "
+              f"lat p50/p99 {r.get('latency_ms_p50')}/"
+              f"{r.get('latency_ms_p99')} ms", flush=True)
         _write(out_path, results)            # incremental: survives a kill
     _write(out_path, results)
     print(json.dumps(max(results, key=lambda r: r["frames_per_s"])

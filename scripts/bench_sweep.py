@@ -23,6 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #                round 4 — the sweep's best arm at B=64)
 GRID = [(b, mode) for b in (16, 32, 64, 128)
         for mode in ("default", "f32", "all_bf16")]
+# round-5 arms (VERDICT r4 item 5): the B=64..128 falloff interior, and
+# the int8-quantized frozen-FE serving arms at the best batch points
+GRID += [(80, "all_bf16"), (96, "all_bf16"),
+         (64, "int8"), (96, "int8"), (64, "int8mm"), (96, "int8mm")]
 
 
 def main():
@@ -40,11 +44,16 @@ def main():
         env["BENCH_B"] = str(b)
         env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
         env.pop("BENCH_W2V_F32", None)
+        env.pop("BENCH_FE_INT8", None)
         env["BENCH_BF16"] = "0"             # explicit: labels, not defaults
         if mode == "f32":
             env["BENCH_W2V_F32"] = "1"
         elif mode == "all_bf16":
             env["BENCH_BF16"] = "1"
+        elif mode in ("int8", "int8mm"):
+            # int8 FE convs under the otherwise-best bf16 config
+            env["BENCH_BF16"] = "1"
+            env["BENCH_FE_INT8"] = mode
         print(f"=== B={b} dtype={mode}", flush=True)
         try:  # a hung arm must not abort the remaining grid (ADVICE r4)
             p = subprocess.run(

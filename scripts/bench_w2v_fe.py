@@ -53,7 +53,8 @@ def main():
     for impl, dt, tag in (("conv", None, "f32"), ("conv", jnp.bfloat16, "bf16"),
                           ("matmul", None, "f32"),
                           ("matmul", jnp.bfloat16, "bf16"),
-                          ("fold", jnp.bfloat16, "bf16")):
+                          ("fold", jnp.bfloat16, "bf16"),
+                          ("int8", None, "int8")):
         fe = FeatureExtractor(impl=impl, dtype=dt)
         f = jax.jit(lambda v, x, fe=fe: fe.apply(v, x))
         res[f"fe_{impl}_{tag}"] = round(timeit(f, fe_vars, wav), 3)
@@ -67,7 +68,9 @@ def main():
             ("conv", jnp.bfloat16, None, "bf16"),
             ("matmul", None, None, "f32"),
             ("fold", None, jnp.bfloat16, "fe-bf16"),
-            ("fold", jnp.bfloat16, None, "bf16")):
+            ("fold", jnp.bfloat16, None, "bf16"),
+            ("int8", None, None, "fe-int8"),
+            ("int8", jnp.bfloat16, None, "bf16+fe-int8")):
         enc = Wav2Vec2Encoder(fe_impl=impl, dtype=dt, fe_dtype=fe_dt)
         f = jax.jit(lambda v, x, enc=enc: enc.apply(v, x, n_frames=NF))
         res[f"full_{impl}_{tag}"] = round(timeit(f, enc_vars, wav), 3)
@@ -77,7 +80,7 @@ def main():
     # numerical agreement on device vs the f32 conv reference
     a = jax.jit(lambda v, x: Wav2Vec2Encoder(fe_impl="conv").apply(
         v, x, n_frames=NF))(enc_vars, wav)
-    for impl in ("matmul", "fold"):
+    for impl in ("matmul", "fold", "int8"):
         b = jax.jit(lambda v, x, impl=impl: Wav2Vec2Encoder(fe_impl=impl).apply(
             v, x, n_frames=NF))(enc_vars, wav)
         res[f"max_abs_diff_{impl}"] = float(jnp.abs(a - b).max())

@@ -278,10 +278,17 @@ def main():
     vq_vars = {"params": vq_state.params, **vq_state.mutables}
     summary["vq_health_final"] = codebook_health(vq_state.mutables)
 
-    recon = make_eval_recon_fn(vq)
-    cap = [float(recon(vq_state, jnp.asarray(b["poses_fbhe"]))[1])
-           for b in ds.fbhe_batches(BS, seed=99, shuffle=False)]
-    summary["vq_capacity_l1"] = round(float(np.mean(cap)), 4)
+    # capacity eval is deterministic given the final vq state — skip the
+    # 21-batch recon sweep on skip-resumed chunks (it cost whole minutes
+    # of a 10-min session chunk when the 1-core host was loaded)
+    prev = json.load(open(OUT)) if os.path.exists(OUT) else {}
+    if start >= STEPS_VQ and "vq_capacity_l1" in prev:
+        summary["vq_capacity_l1"] = prev["vq_capacity_l1"]
+    else:
+        recon = make_eval_recon_fn(vq)
+        cap = [float(recon(vq_state, jnp.asarray(b["poses_fbhe"]))[1])
+               for b in ds.fbhe_batches(BS, seed=99, shuffle=False)]
+        summary["vq_capacity_l1"] = round(float(np.mean(cap)), 4)
     log(f"vq capacity {summary['vq_capacity_l1']}")
     flush_summary(summary)
 

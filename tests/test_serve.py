@@ -178,7 +178,8 @@ class TestSessionLifecycle:
         solo_eng.flush(sid)
         st = solo_eng.latency_stats()
         assert st["batch_ms_p50"] > 0 and st["batch_ms_p95"] >= st["batch_ms_p50"]
-        assert st["queue_ms_p50"] >= 0
+        assert st["batch_ms_p99"] >= st["batch_ms_p95"]
+        assert st["queue_ms_p50"] >= 0 and st["queue_ms_p99"] >= 0
 
 
 class TestMeshServing:

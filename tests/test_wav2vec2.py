@@ -173,7 +173,28 @@ class TestBF16Compute:
         assert float(jnp.abs(a - b).mean()) / denom < 0.05
 
 
-class TestFoldFeatureExtractor:
+class TestInt8FeatureExtractor:
+    def test_int8_close_to_f32(self, rng):
+        """The dynamically-quantized serving arms (`impl='int8'` direct
+        conv with per-sample activation scales; `impl='int8mm'` im2col
+        with exact per-output-row scales) run the SAME param tree as
+        'conv' and stay within int8 quantization tolerance — int8mm
+        strictly finer-grained, both bounded at 10% mean relative."""
+        x = jnp.asarray(rng.normal(size=(2, 3210)).astype(np.float32))
+        for mode, bias in (("group", False), ("layer", True)):
+            conv = FeatureExtractor(impl="conv", norm_mode=mode,
+                                    conv_bias=bias)
+            v = conv.init(jax.random.key(1), x)
+            a = conv.apply(v, x)
+            scale = float(jnp.abs(a).mean())
+            errs = {}
+            for impl in ("int8", "int8mm"):
+                b = FeatureExtractor(impl=impl, norm_mode=mode,
+                                     conv_bias=bias).apply(v, x)
+                assert a.shape == b.shape
+                errs[impl] = float(jnp.abs(a - b).mean()) / scale
+                assert errs[impl] < 0.10, (mode, impl, errs[impl])
+            assert errs["int8mm"] <= errs["int8"] * 1.05, errs
     def test_fold_matches_conv(self, rng):
         """impl='fold' (phase-folded matmuls) == the conv path on the SAME
         param tree — exact at the default (f32) compute dtype like every
