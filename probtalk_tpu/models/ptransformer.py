@@ -335,10 +335,13 @@ class PTransformer(nn.Module):
             return ids, k
 
         ids, _ = jax.lax.fori_loop(0, steps, body, (init_ids, key))
-        # final fill: any remaining mask ids resolved greedily
-        lg = logits_of(ids)
-        final = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        ids = jnp.where(ids == self.mask_id, final, ids)
+        # No mask ids can survive the loop: at the final iteration
+        # ratio=1 so every gamma schedule gives mask_ratio ~ 0,
+        # mask_len floors to 0, and the cut lands below the minimum
+        # confidence — masking is all-False (the reference likewise
+        # returns cur_ids straight after its loop, PTransformer.py:642).
+        # A former defensive greedy fill here cost a 9th full forward
+        # (~12% of the sampler) for a provable no-op; removed (round 5).
         return ids.reshape(b, t, g)
 
     def sample_max(self, label, condition):

@@ -94,7 +94,8 @@ def main():
     def u(frames: int) -> int:                        # frames -> input units
         return frames * sr // 30 if raw else frames
 
-    feats_len = u(t + 24 * step)
+    # RT mode iterates 32 windows (vs 16) — size the input stream for it
+    feats_len = u(t + (32 if os.environ.get("SERVE_BENCH_RT") else 16) * step)
     if raw:
         wav = (0.1 * rng.normal(size=(feats_len,))).astype(np.float32)
         feats = (np.clip(wav * 32768, -32768, 32767).astype(np.int16)

@@ -77,6 +77,9 @@ def main():
                 r2 = json.loads(line2[-1])
                 r["latency_ms_p50"] = r2.get("latency_ms_p50")
                 r["latency_ms_p99"] = r2.get("latency_ms_p99")
+            else:
+                print(f"  latency pass FAILED: {p2.stderr[-300:]}",
+                      flush=True)
         except subprocess.TimeoutExpired:
             print("  latency pass timed out; throughput kept", flush=True)
         results.append(r)                    # the raw bf16/f32 flag

@@ -113,6 +113,26 @@ class TestPredictorStage:
         assert codes.shape == (B, T // 8, 4)
         assert int(codes.max()) < 8
 
+    def test_sample_max_deterministic(self, rng):
+        """Greedy decode (reference sample_max, PTransformer.py:644-655):
+        keyless, deterministic, in-range — the converted-checkpoint
+        equivalence path (scripts/converted_det.py)."""
+        stage = PredictorStage(mot_dim=CM, num_code=8, groups=4, dec_layers=1,
+                               aud_dim=CA)
+        aud = jnp.asarray(rng.normal(size=(B, T, CA)).astype(np.float32))
+        spk = jnp.zeros((B,), jnp.int32)
+        mask = jnp.zeros((B, T, 1), jnp.float32)
+        x0 = jnp.zeros((B, T, CM), jnp.float32)
+        codes0 = jnp.zeros((B, T // 8, 4), jnp.int32)
+        v = stage.init(jax.random.key(2), x0, codes0, mask, spk, aud,
+                       train=False)
+        f = jax.jit(lambda v, a: stage.apply(v, x0, mask, spk, a,
+                                             method=stage.sample_max))
+        c1, c2 = f(v, aud), f(v, aud)
+        assert c1.shape == (B, T // 8, 4)
+        assert bool((c1 == c2).all())
+        assert 0 <= int(c1.min()) and int(c1.max()) < 8
+
 
 class TestRefinerStage:
     def test_train_step_learns(self, frozen_vq, rng):
