@@ -42,15 +42,16 @@ def main():
     )
     from probtalk_tpu.train.state import create_train_state, adamw
 
-    # B=64 + bf16 everywhere = the measured-best serving config from the
-    # round-4 batch x dtype sweep on the real chip (BENCH_SWEEP.json:
-    # 137.3k frames/s vs 131.8k at the old B=16 default). B=16 is the
-    # reference eval harness's diversity-sample batch
-    # (scripts/test_holisticbody.py B=16); per-sample latency is ~the same
-    # as B=1 (dispatch-bound, see PERFORMANCE.md). BENCH_B sweeps the
-    # serving batch (throughput amortizes the fixed dispatch cost).
+    # B=80 + bf16 everywhere = the measured-best serving config from the
+    # round-5 batch x dtype sweep on the real chip (BENCH_SWEEP.json:
+    # 143.4k frames/s at B=80 vs 137.3k at the round-4 B=64 default —
+    # B=96 and B=128 fall off again: HBM working set + tunnel per-batch
+    # host cost). B=16 is the reference eval harness's diversity-sample
+    # batch (scripts/test_holisticbody.py B=16); per-sample latency is
+    # ~the same as B=1 (dispatch-bound, see PERFORMANCE.md). BENCH_B
+    # sweeps the serving batch (throughput amortizes fixed dispatch).
     cm, ca, t = 376, 768, 180
-    b = int(os.environ.get("BENCH_B", 64))
+    b = int(os.environ.get("BENCH_B", 80))
     sr = 16000
     wav_len = t * sr // 30                      # 6 s of 16 kHz audio
 
@@ -58,10 +59,12 @@ def main():
     # Serving dtype config (measured matrix, real TPU, round 4,
     # BENCH_SWEEP.json): at B=16 bf16 stacks LOSE (124.6k vs 131.8k —
     # too few tokens to fill the MXU, cast overhead dominates) but at
-    # B=64 they win (137.3k vs 135.3k) and f32-everything trails at every
-    # batch. Default = the best measured arm: B=64, bf16 frontend + bf16
-    # stacks (norms/softmax stay f32 inside the modules; bf16-vs-f32
-    # deviation pinned by tests/test_wav2vec2.py).
+    # B>=64 they win (143.4k vs 135.3k) and f32-everything trails at
+    # every batch. Default = the best measured arm: B=80, bf16 frontend +
+    # bf16 stacks (norms/softmax stay f32 inside the modules; bf16-vs-f32
+    # deviation pinned by tests/test_wav2vec2.py). int8 dynamic FE arms
+    # measured 137.1k at B=64 — layout/dispatch-bound, not weight-BW-bound,
+    # so int8 doesn't pay on this backend (BENCH_SWEEP.json).
     # BENCH_BF16=0 restores f32 stacks; BENCH_W2V_F32=1 the f32 frontend.
     # BENCH_FE_INT8=int8|int8mm: dynamically-quantized FE conv arms
     # (frozen-weight serving quantization, audio/wav2vec2.py _Int8Conv)

@@ -21,8 +21,16 @@ import numpy as np
 
 
 def build_pipeline(config, norm_stats_path: str, vq_path=None,
-                   predictor_path=None, refiner_path=None, seed: int = 0):
-    """Construct the three stages (+ restore checkpoints when given)."""
+                   predictor_path=None, refiner_path=None, seed: int = 0,
+                   stage_dtype=None):
+    """Construct the three stages (+ restore checkpoints when given).
+
+    stage_dtype: compute dtype for the predictor/refiner transformer
+    stacks (weights stay f32 in the restored states; norms/softmax stay
+    f32 inside the modules). bf16 is the measured-best serving config at
+    lanes>=64 (SERVE_SWEEP.json); default None (f32) keeps eval/demo
+    parity paths bit-stable.
+    """
     import jax
     import jax.numpy as jnp
     from probtalk_tpu.core import body_parts
@@ -53,7 +61,7 @@ def build_pipeline(config, norm_stats_path: str, vq_path=None,
 
     pred = PredictorStage(mot_dim=cm, num_code=m.get("code_num", 128),
                           groups=groups, maskgit_T=m.get("maskgit_T", 8),
-                          aud_dim=aud_dim)
+                          aud_dim=aud_dim, dtype=stage_dtype)
     mask0 = jnp.zeros((1, window, 1), jnp.float32)
 
     def down3(n):
@@ -72,7 +80,7 @@ def build_pipeline(config, norm_stats_path: str, vq_path=None,
         if restored is not None:
             pred_state = restored
 
-    ref = RefinerStage(in_dim=cm, aud_dim=aud_dim)
+    ref = RefinerStage(in_dim=cm, aud_dim=aud_dim, dtype=stage_dtype)
     ref_state = create_train_state(ref, (x0, aud0, mask0, spk0),
                                    jax.random.key(seed + 2), adamw(1e-4),
                                    init_kwargs={"train": True})

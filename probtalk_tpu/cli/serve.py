@@ -3,7 +3,7 @@
     python -m probtalk_tpu.cli.serve --config_file configs/transformer.json \
         --model_path <vq_ckpt_dir> \
         --body_model_path <predictor_ckpt_dir> <refiner_ckpt_dir> \
-        --port 8080 --max_batch 8
+        --port 8080 --max_batch 64
 
 Clients POST motion-fps audio-feature chunks (float32, ``X-Shape: T,Ca``)
 to ``/v1/sessions/<id>/feed`` and receive motion frames back; concurrent
@@ -21,11 +21,12 @@ import numpy as np
 
 
 def build_engine(config, norm_stats_path: str, vq_path=None,
-                 predictor_path=None, refiner_path=None, max_batch: int = 8,
+                 predictor_path=None, refiner_path=None, max_batch: int = 64,
                  max_sessions=None, raw: bool = False, seed: int = 0,
                  pcm: bool = False, w2v_ckpt=None, w2v_arch: str = "wav2vec2",
                  wav_int16: bool = False, emit_f16: bool = False,
-                 idle_ttl=None, face_path=None, w2v_f32: bool = False):
+                 idle_ttl=None, face_path=None, w2v_f32: bool = False,
+                 stage_f32: bool = False):
     """Stages via the demo's builder; returns a ready ServingEngine.
 
     pcm=True serves raw 16 kHz audio: the acoustic frontend (w2v_arch
@@ -33,13 +34,20 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
     window program. ``w2v_ckpt`` is the orbax dir written by
     ``cli/convert_checkpoint --stage wav2vec2|hubert``; without one the
     frontend is RANDOM-INIT (shape-complete only) and a warning is
-    printed — the reference mount ships no pretrained weights."""
+    printed — the reference mount ships no pretrained weights.
+
+    Defaults match the measured-best sweep arm (SERVE_SWEEP.json, real
+    chip, round 5): 64 lanes, bf16 predictor/refiner compute (weights
+    stay f32 in the checkpoints; stage_f32=True opts out)."""
+    import jax.numpy as jnp
+
     from probtalk_tpu.cli.demo import build_pipeline
     from probtalk_tpu.serve.engine import ServingEngine
 
     pipe, mean, std = build_pipeline(
         config, norm_stats_path, vq_path=vq_path,
-        predictor_path=predictor_path, refiner_path=refiner_path, seed=seed)
+        predictor_path=predictor_path, refiner_path=refiner_path, seed=seed,
+        stage_dtype=None if stage_f32 else jnp.bfloat16)
 
     postprocess = None
     if not raw:
@@ -139,7 +147,11 @@ def main(argv=None):
                    help="predictor ckpt dir, refiner ckpt dir")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_batch", type=int, default=64,
+                   help="lane bucket width; 64 is the measured-best "
+                        "throughput arm (SERVE_SWEEP.json: 11.5k frames/s "
+                        "= 382x RT; drop to 8-16 for latency-sensitive "
+                        "deployments)")
     p.add_argument("--max_sessions", type=int, default=None,
                    help="admission limit; extra session creates get 503")
     p.add_argument("--idle_ttl", type=float, default=300.0,
@@ -162,6 +174,10 @@ def main(argv=None):
     p.add_argument("--w2v_f32", action="store_true",
                    help="run the acoustic frontend in f32 (default bf16 "
                         "compute, the measured-best TPU serving config)")
+    p.add_argument("--stage_f32", action="store_true",
+                   help="run the predictor/refiner stacks in f32 (default "
+                        "bf16 compute, the measured-best arm at >=32 lanes; "
+                        "SERVE_SWEEP.json)")
     p.add_argument("--wav_int16", action="store_true",
                    help="int16 PCM wire (halves the audio upload)")
     p.add_argument("--emit_f16", action="store_true",
@@ -183,7 +199,7 @@ def main(argv=None):
         max_batch=args.max_batch, max_sessions=args.max_sessions,
         raw=args.raw, pcm=args.pcm, w2v_ckpt=args.w2v_ckpt,
         w2v_arch=args.w2v_arch, wav_int16=args.wav_int16,
-        w2v_f32=args.w2v_f32,
+        w2v_f32=args.w2v_f32, stage_f32=args.stage_f32,
         emit_f16=args.emit_f16, idle_ttl=args.idle_ttl,
         face_path=args.face_model_path)
     server = MotionServer(engine, host=args.host, port=args.port,
