@@ -26,7 +26,8 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
                  pcm: bool = False, w2v_ckpt=None, w2v_arch: str = "wav2vec2",
                  wav_int16: bool = False, emit_f16: bool = False,
                  idle_ttl=None, face_path=None, w2v_f32: bool = False,
-                 stage_f32: bool = False):
+                 stage_f32: bool = False, resident: bool = False,
+                 resident_slots: int = 256):
     """Stages via the demo's builder; returns a ready ServingEngine.
 
     pcm=True serves raw 16 kHz audio: the acoustic frontend (w2v_arch
@@ -133,7 +134,8 @@ def build_engine(config, norm_stats_path: str, vq_path=None,
         pipe.predictor_state, pipe.refiner_stage, pipe.refiner_state,
         window=pipe.window, overlap=pipe.overlap, max_batch=max_batch,
         max_sessions=max_sessions, postprocess=postprocess,
-        idle_ttl=idle_ttl, **kw)
+        idle_ttl=idle_ttl, resident=resident,
+        resident_slots=resident_slots, **kw)
 
 
 def main(argv=None):
@@ -178,6 +180,22 @@ def main(argv=None):
                    help="run the predictor/refiner stacks in f32 (default "
                         "bf16 compute, the measured-best arm at >=32 lanes; "
                         "SERVE_SWEEP.json)")
+    p.add_argument("--resident", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="device-resident lane state (default ON, the "
+                        "measured-best serving arm — SERVE_SWEEP.json "
+                        "all_bf16_resident): per-session context tail + "
+                        "RNG key live in device slot buffers; the pump "
+                        "fetches a 4-byte probe per batch instead of "
+                        "round-tripping every lane's tail over the "
+                        "host<->device link. Single-chip; caps concurrent "
+                        "sessions at --resident_slots. --no-resident "
+                        "restores the host-carried (mesh-capable, "
+                        "unbounded-session) path")
+    p.add_argument("--resident_slots", type=int, default=256,
+                   help="device slot buffer rows = max concurrent sessions "
+                        "in --resident mode (each holds an (overlap, C) "
+                        "tail, ~45 KB at production sizes)")
     p.add_argument("--wav_int16", action="store_true",
                    help="int16 PCM wire (halves the audio upload)")
     p.add_argument("--emit_f16", action="store_true",
@@ -201,7 +219,8 @@ def main(argv=None):
         w2v_arch=args.w2v_arch, wav_int16=args.wav_int16,
         w2v_f32=args.w2v_f32, stage_f32=args.stage_f32,
         emit_f16=args.emit_f16, idle_ttl=args.idle_ttl,
-        face_path=args.face_model_path)
+        face_path=args.face_model_path, resident=args.resident,
+        resident_slots=args.resident_slots)
     server = MotionServer(engine, host=args.host, port=args.port,
                           pump_interval=args.pump_interval).start()
     print(f"serving on http://{args.host}:{server.port} "

@@ -41,6 +41,17 @@ TPU-first design points:
   stay device-resident and transfer lazily at ``poll``/``feed``-return
   time, overlapping later batches' compute. ``emit_dtype=jnp.float16``
   additionally halves the output transfer (upcast to f32 on host).
+- **Device-resident lane state** (``resident=True``): per-session carry
+  (the (overlap, C) context tail + PRNG key data) lives in device
+  lane-slot buffers, gather/scatter-updated inside the compiled step
+  (donated, so XLA updates them in place). The pump then fetches ONE
+  4-byte probe per batch as the completion barrier instead of
+  round-tripping every lane's tail through the host (~5.8 MB D2H+H2D
+  per 64-lane batch over the ~25 MB/s tunnel). Sessions hold a slot for
+  their lifetime (``resident_slots`` bounds concurrency); slot recycling
+  is safe because a fresh session's first window masks carried state.
+  Single-chip only — mesh serving keeps the host-carried path (arbitrary
+  slot gather/scatter across the data axis would need collectives).
 - **Static shapes everywhere.** Windows are fixed ``window`` frames
   (``window*sr/fps`` samples in raw mode); flush pads the tail edge-mode
   exactly like ``streaming.pad_to_windows`` and truncates the emitted
@@ -129,6 +140,7 @@ class _Session:
     new_frames: threading.Event = field(default_factory=threading.Event)
     waiters: int = 0                         # threads blocked in poll(timeout)
     closed: bool = False
+    slot: Optional[int] = None               # resident-mode device lane slot
 
     def buffered(self) -> np.ndarray:
         """Un-consumed input units (absolute unit ``trimmed + i`` lives at
@@ -158,7 +170,8 @@ class ServingEngine:
                  frontend: Optional[tuple] = None, sr: int = 16000,
                  fps: int = 30, wav_dtype=np.float32, emit_dtype=None,
                  idle_ttl: Optional[float] = None,
-                 face: Optional[tuple] = None):
+                 face: Optional[tuple] = None,
+                 resident: bool = False, resident_slots: int = 256):
         self.window = window
         self.overlap = overlap
         self.step = window - overlap
@@ -214,10 +227,53 @@ class ServingEngine:
             from probtalk_tpu.parallel.mesh import replicate
 
             self._variables = replicate(self._variables, mesh)
-        self._step_fn = self._build_step(
+        # resident mode: per-session context tail + RNG key data live in
+        # DEVICE lane-slot buffers, gather/scatter-updated inside the
+        # compiled step. The non-resident pump round-trips (overlap, C)
+        # tails through the host every batch (~2.9 MB D2H + re-upload at
+        # 64 lanes over the ~25 MB/s tunnel) purely to rebuild context;
+        # resident mode fetches only an 8-byte completion probe. A slot
+        # is held for a session's lifetime, so resident_slots bounds the
+        # concurrent sessions (create_session raises EngineBusy beyond
+        # it). Mesh sharding keeps the host path: arbitrary slot
+        # gather/scatter across the data axis would need collectives.
+        self.resident = bool(resident)
+        if self.resident and mesh is not None:
+            raise ValueError("resident mode is single-chip (mesh=None); "
+                             "mesh serving keeps host-carried context")
+        self.resident_slots = int(resident_slots)
+        self._free_slots = list(range(self.resident_slots))
+        self._state_bufs = None          # lazy (tails_buf, kd_buf) on device
+        one = self._build_one(
             vq_model, pred_stage, ref_stage,
             frontend[0] if self.raw_audio else None,
             face[0] if face is not None else None)
+        self._step_fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+
+        def step_resident(variables, tails_buf, kd_buf, slots, kd_init,
+                          aud, first, n_valid, speaker):
+            # gather each lane's carried state from its slot; a lane's
+            # FIRST window takes the seed key data from the host instead
+            # (its slot may hold a previous tenant's stale state — never
+            # read: `first` also zeroes the tail inside `one`)
+            tails = tails_buf[slots]
+            kds = jnp.where(first[:, None] > 0, kd_init, kd_buf[slots])
+            emit, new_tails, new_kd = jax.vmap(
+                one, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                    variables, kds, aud, tails, first, n_valid, speaker)
+            # pad rows all scatter to the reserved scratch slot (index
+            # resident_slots); duplicate indices are fine — the scratch
+            # row is never read as carried state
+            tails_buf = tails_buf.at[slots].set(new_tails)
+            kd_buf = kd_buf.at[slots].set(new_kd)
+            # tiny completion probe: the pump fetches this one scalar as
+            # the batch barrier (jax.block_until_ready returns at enqueue
+            # on the tunnel backend) — bandwidth-free backpressure
+            probe = jnp.bitwise_xor(new_kd[:, 0].sum(), new_kd[:, 1].sum())
+            return emit, tails_buf, kd_buf, probe
+
+        # donate the state buffers: XLA aliases them in place per call
+        self._step_res = jax.jit(step_resident, donate_argnums=(1, 2))
         self._sessions: Dict[str, _Session] = {}
         self._ids = itertools.count()
         self._lock = threading.Lock()
@@ -240,8 +296,10 @@ class ServingEngine:
         return frames * self._upf // self._fpu
 
     # ------------------------------------------------------------------
-    def _build_step(self, vq_model, pred_stage, ref_stage, fe_model,
-                    face_model=None):
+    def _build_one(self, vq_model, pred_stage, ref_stage, fe_model,
+                   face_model=None):
+        """The batch-1 window program; vmapped (and in resident mode
+        wrapped in slot gather/scatter) by the constructor."""
         window, ov = self.window, self.overlap
         int16_in = self.raw_audio and self.wav_dtype == np.int16
         emit_dtype = self.emit_dtype
@@ -302,7 +360,7 @@ class ServingEngine:
                 emit = emit.astype(emit_dtype)
             return emit, out[-ov:], jax.random.key_data(carry)
 
-        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+        return one
 
     # ------------------------------------------------------------------
     # session API (thread-safe)
@@ -314,10 +372,16 @@ class ServingEngine:
                 raise EngineBusy(
                     f"{len(self._sessions)}/{self.max_sessions} sessions")
             sid = f"s{next(self._ids)}"
+            slot = None
+            if self.resident:
+                if not self._free_slots:
+                    raise EngineBusy(
+                        f"all {self.resident_slots} resident slots held")
+                slot = self._free_slots.pop()
             self._sessions[sid] = _Session(
                 speaker=int(speaker),
                 key_data=_host_key_data(seed),
-                last_active=time.monotonic())
+                last_active=time.monotonic(), slot=slot)
             return sid
 
     def feed(self, sid: str, feats: np.ndarray, pump: bool = True) -> np.ndarray:
@@ -402,6 +466,7 @@ class ServingEngine:
                             if s.last_active < cut and s.waiters == 0]:
                     s = self._sessions.pop(sid)
                     s.closed = True
+                    self._release_slot(s)
                     s.new_frames.set()       # unblock any waiting poll
                     self.stats["expired"] += 1
             before = self.stats["windows"]
@@ -433,6 +498,7 @@ class ServingEngine:
                     break
             chunks, s.pending = s.pending, []
             s.closed = True
+            self._release_slot(s)
             s.new_frames.set()
             del self._sessions[sid]
         if not chunks:
@@ -467,6 +533,14 @@ class ServingEngine:
         if s is None or s.closed:
             raise SessionClosed(sid)
         return s
+
+    def _release_slot(self, s: _Session):
+        """Return a resident lane slot to the free list (lock held). Safe
+        to recycle immediately: the next tenant's first window runs with
+        first=1, which masks both the carried tail and the carried key."""
+        if s.slot is not None:
+            self._free_slots.append(s.slot)
+            s.slot = None
 
     @staticmethod
     def _chunk_len(chunk) -> int:
@@ -524,6 +598,8 @@ class ServingEngine:
         first = np.ones((bucket,), np.float32)
         n_valid = np.full((bucket,), self.window, np.int32)
         spk = np.zeros((bucket,), np.int32)
+        # pad rows gather/scatter the reserved scratch slot (resident mode)
+        slots = np.full((bucket,), self.resident_slots, np.int32)
         kds = []
         for i, sid in enumerate(sids):
             s = self._sessions[sid]
@@ -531,7 +607,8 @@ class ServingEngine:
             win = s.buffered()[rel:rel + w_units]
             aud[i] = win[:, 0] if self.raw_audio else win
             if s.windows_done > 0:
-                tails[i] = s.ctx_tail
+                if not self.resident:    # resident tails never leave device
+                    tails[i] = s.ctx_tail
                 first[i] = 0.0
             # frames of TRUE (unpadded) input covered by this window — only
             # flush-padded tail windows fall short of a full window
@@ -539,23 +616,64 @@ class ServingEngine:
                 self._frames_of(s.n_feat) - self.step * s.windows_done,
                 self.window), 1)
             spk[i] = s.speaker
+            if self.resident:
+                slots[i] = s.slot
             kds.append(s.key_data)
         for _ in range(bucket - n):      # pad rows: any key, output discarded
             kds.append(kds[-1])
         t0 = time.perf_counter()
-        args = (jnp.asarray(np.stack(kds)), jnp.asarray(aud),
-                jnp.asarray(tails), jnp.asarray(first), jnp.asarray(n_valid),
-                jnp.asarray(spk))
-        if self.mesh is not None:        # batch rows across the data axis
-            from probtalk_tpu.parallel.mesh import shard_batch
+        tails_np = kd_np = None
+        if self.resident:
+            if self._state_bufs is None:
+                # +1 row: the scratch slot pad rows write (never read live)
+                self._state_bufs = (
+                    jnp.zeros((self.resident_slots + 1, ov, c), jnp.float32),
+                    jnp.zeros((self.resident_slots + 1, 2), jnp.uint32))
+            tails_buf, kd_buf = self._state_bufs
+            self._state_bufs = None      # donated: dead the moment we call
+            try:
+                refined_dev, tails_buf, kd_buf, probe = self._step_res(
+                    self._variables, tails_buf, kd_buf, jnp.asarray(slots),
+                    jnp.asarray(np.stack(kds)), jnp.asarray(aud),
+                    jnp.asarray(first), jnp.asarray(n_valid),
+                    jnp.asarray(spk))
+            except Exception:
+                # a failed step must not silently zero carried state on
+                # the next pump. If the donated inputs were never
+                # consumed (error before dispatch) restore them — retry
+                # semantics then match the host-carried path. If they
+                # were consumed the whole buffer is gone, and it held
+                # EVERY slot's carry: close each session that had prior
+                # windows so clients see an error, never a wrong-context
+                # continuation (first-window sessions carry nothing and
+                # retry safely).
+                if not tails_buf.is_deleted():
+                    self._state_bufs = (tails_buf, kd_buf)
+                else:
+                    for sid, s in [(k, v) for k, v in self._sessions.items()
+                                   if v.windows_done > 0]:
+                        del self._sessions[sid]
+                        s.closed = True
+                        self._release_slot(s)
+                        s.new_frames.set()
+                raise
+            self._state_bufs = (tails_buf, kd_buf)
+            int(probe)                   # 4-byte fetch = completion barrier
+        else:
+            args = (jnp.asarray(np.stack(kds)), jnp.asarray(aud),
+                    jnp.asarray(tails), jnp.asarray(first),
+                    jnp.asarray(n_valid), jnp.asarray(spk))
+            if self.mesh is not None:    # batch rows across the data axis
+                from probtalk_tpu.parallel.mesh import shard_batch
 
-            args = shard_batch(args, self.mesh)
-        refined_dev, tails_dev, kd_dev = self._step_fn(self._variables, *args)
-        # fetching the tiny tails + carried key data is the completion
-        # barrier; the full refined windows stay on device and transfer
-        # lazily at pop time
-        tails_np = np.asarray(tails_dev)
-        kd_np = np.asarray(kd_dev)
+                args = shard_batch(args, self.mesh)
+            refined_dev, tails_dev, kd_dev = self._step_fn(
+                self._variables, *args)
+            # fetching the tiny tails + carried key data is the completion
+            # barrier; the full refined windows stay on device and transfer
+            # lazily at pop time
+            tails_np = np.asarray(tails_dev)
+            kd_np = np.asarray(kd_dev)
         now = time.perf_counter()
         rec = _BatchOut(refined_dev)
         self._batch_ms.append((now - t0) * 1e3)
@@ -570,8 +688,9 @@ class ServingEngine:
             # the TTL and expire the very session it is serving
             s.last_active = time.monotonic()
             skip = 0 if s.windows_done == 0 else ov
-            s.ctx_tail = tails_np[i]
-            s.key_data = kd_np[i]
+            if not self.resident:        # resident carry lives in the bufs
+                s.ctx_tail = tails_np[i]
+                s.key_data = kd_np[i]
             s.windows_done += 1
             s.emitted += self.window - skip
             s.pending.append((rec, i, skip))

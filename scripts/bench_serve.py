@@ -15,6 +15,10 @@ Modes:
   SERVE_BENCH_BF16=1     bf16 predictor/refiner stacks
   SERVE_BENCH_W2V_F32=1  (raw mode) f32 acoustic frontend (default bf16,
                          matching the cli/serve.py --pcm production default)
+  SERVE_BENCH_RESIDENT=1 device-resident lane state: context tails + RNG
+                         keys stay in device slot buffers; the pump fetches
+                         a 4-byte probe per batch instead of every lane's
+                         (30, 376) tail (engine.py resident mode)
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serve.py
 Round-3 numbers recorded in PERFORMANCE.md come from this drive on one
@@ -84,6 +88,9 @@ def main():
                   wav_dtype=np.int16 if int16 else np.float32)
     if f16out:
         kw["emit_dtype"] = jnp.float16
+    resident = bool(os.environ.get("SERVE_BENCH_RESIDENT"))
+    if resident:
+        kw.update(resident=True, resident_slots=lanes)
     print(f"init {time.time()-t0:.0f}s; devices {jax.devices()}")
 
     eng = ServingEngine(vq, vq_vars, pred, pred_state, ref, ref_state,
@@ -138,7 +145,7 @@ def main():
     dt = time.time() - t0
     mode = ("raw-int16" if raw and int16 else "raw-f32" if raw else "feature")
     result = {
-        "mode": mode, "lanes": lanes,
+        "mode": mode, "lanes": lanes, "resident": resident,
         "stage_dtype": "bf16" if sdt else "f32",
         "emit": "f16" if f16out else "f32",
         "frames_per_s": round(frames / dt, 1),

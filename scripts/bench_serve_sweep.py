@@ -25,8 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # batch dimension of serving. dtype labels match BENCH_SWEEP.json:
 #   'default'  = bf16 Wav2Vec2 frontend + f32 stacks (cli/serve.py default)
 #   'all_bf16' = bf16 frontend + bf16 predictor/refiner stacks
+#   '*_resident' = + device-resident lane state (engine.py resident mode:
+#       context tails + RNG keys stay in device slot buffers; the pump
+#       fetches a 4-byte probe instead of every lane's (30, 376) tail)
 GRID = [(lanes, mode) for lanes in (8, 16, 32, 64)
-        for mode in ("default", "all_bf16")]
+        for mode in ("default", "all_bf16")] + [(64, "all_bf16_resident")]
 
 
 def main():
@@ -46,8 +49,11 @@ def main():
                    SERVE_BENCH_F16OUT="1", SERVE_BENCH_LANES=str(lanes))
         env.pop("SERVE_BENCH_W2V_F32", None)   # bf16 frontend in both modes
         env.pop("SERVE_BENCH_BF16", None)
-        if mode == "all_bf16":
+        env.pop("SERVE_BENCH_RESIDENT", None)
+        if mode.startswith("all_bf16"):
             env["SERVE_BENCH_BF16"] = "1"
+        if mode.endswith("_resident"):
+            env["SERVE_BENCH_RESIDENT"] = "1"
         print(f"=== lanes={lanes} dtype={mode}", flush=True)
         try:  # a hung arm must not abort the remaining grid (ADVICE r4)
             p = subprocess.run(

@@ -119,3 +119,53 @@ def test_cli_threads_w2v_f32_flag(monkeypatch, tmp_path, flag, expect):
     cfg.write_text("{}")
     serve_cli.main(["--config_file", str(cfg)] + flag)
     assert seen["w2v_f32"] is expect
+
+
+@pytest.mark.smoke
+def test_build_engine_threads_resident(patched):
+    eng = serve_cli.build_engine(None, "unused", raw=True, resident=True,
+                                 resident_slots=32)
+    assert eng.kw["resident"] is True and eng.kw["resident_slots"] == 32
+    # library-level default stays off: the host-carried path is the
+    # conservative (mesh-capable, unbounded-session) one
+    eng = serve_cli.build_engine(None, "unused", raw=True)
+    assert eng.kw["resident"] is False
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("flag,expect", [([], True), (["--no-resident"],
+                                                      False)])
+def test_cli_resident_default_on(monkeypatch, tmp_path, flag, expect):
+    # production CLI defaults to the measured-best arm (SERVE_SWEEP.json
+    # all_bf16_resident); --no-resident restores the host-carried path
+    import probtalk_tpu.serve.server as server_mod
+
+    seen = {}
+
+    def fake_build_engine(config, norm_stats, **kw):
+        seen.update(kw)
+        return types.SimpleNamespace(window=180, max_batch=kw["max_batch"])
+
+    class _Server:
+        port = 0
+
+        def __init__(self, engine, **kw):
+            pass
+
+        def start(self):
+            return self
+
+        def stop(self):
+            pass
+
+    def _no_sleep(_secs):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(serve_cli, "build_engine", fake_build_engine)
+    monkeypatch.setattr(server_mod, "MotionServer", _Server)
+    monkeypatch.setattr("time.sleep", _no_sleep)
+    cfg = tmp_path / "c.json"
+    cfg.write_text("{}")
+    serve_cli.main(["--config_file", str(cfg)] + flag)
+    assert seen["resident"] is expect
+    assert seen["resident_slots"] == 256

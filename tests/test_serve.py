@@ -532,6 +532,132 @@ class TestFaceStage:
         assert out.shape == (t, CM) and np.isfinite(out).all()
 
 
+class TestResidentMode:
+    """Device-resident lane state (``resident=True``): carried context
+    tails + RNG key data live in device slot buffers, gather/scatter-
+    updated inside the compiled step; the pump fetches only a 4-byte
+    probe per batch. Must be output-identical to the host-carried path
+    (same ``one`` program, same key chain — the carry just never leaves
+    the device)."""
+
+    def test_resident_equals_host_carried(self, stages, solo_eng, rng):
+        eng = make_engine(stages, max_batch=4, resident=True,
+                          resident_slots=4)
+        specs = [(41, 0, 45), (42, 1, 30), (43, 0, 20)]   # (seed, spk, T)
+        auds = {s: rng.normal(size=(t, CA)).astype(np.float32)
+                for s, _, t in specs}
+        sids = {s: eng.create_session(speaker=spk, seed=s)
+                for s, spk, _ in specs}
+        out = {s: [] for s, _, _ in specs}
+        for lo in range(0, 45, 9):
+            for s, _, _ in specs:
+                a = auds[s][lo:lo + 9]
+                if len(a):
+                    eng.feed(sids[s], a, pump=False)
+            eng.pump_all()
+            for s, _, _ in specs:
+                out[s].append(eng.poll(sids[s]))
+        assert eng.stats["batches"] < eng.stats["windows"], eng.stats
+        for s, spk, t in specs:
+            out[s].append(eng.flush(sids[s]))
+            got = np.concatenate(out[s], axis=0)
+            want = solo_run(solo_eng, seed=s, aud_np=auds[s], speaker=spk)
+            assert got.shape == want.shape == (t, CM)
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_slot_exhaustion_and_recycle(self, stages, rng):
+        eng = make_engine(stages, max_batch=2, resident=True,
+                          resident_slots=2)
+        a = eng.create_session(seed=1)
+        b = eng.create_session(seed=2)
+        with pytest.raises(EngineBusy, match="resident slots"):
+            eng.create_session(seed=3)
+        # run windows through A so its slot holds real carried state
+        aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
+        first = np.concatenate([eng.feed(a, aud), eng.flush(a)], axis=0)
+        # recycled slot: the new tenant's first window must mask the
+        # previous tenant's stale tail/key — same seed => same output
+        c = eng.create_session(seed=1)
+        again = np.concatenate([eng.feed(c, aud), eng.flush(c)], axis=0)
+        np.testing.assert_array_equal(first, again)
+        eng.flush(b)
+        assert len(eng._free_slots) == 2      # every slot returned
+
+    def test_expired_session_frees_slot(self, stages, rng):
+        import time as _time
+
+        eng = make_engine(stages, max_batch=1, resident=True,
+                          resident_slots=1, idle_ttl=0.05)
+        eng.create_session(seed=0)
+        _time.sleep(0.08)
+        eng.pump_all()                        # GC sweep releases the slot
+        assert eng.stats["expired"] == 1
+        eng.flush(eng.create_session(seed=1))
+
+    def test_resident_rejects_mesh(self, stages):
+        from probtalk_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError, match="single-chip"):
+            make_engine(stages, max_batch=8, resident=True,
+                        mesh=make_mesh(model=1))
+
+    def test_failed_step_before_dispatch_is_retryable(self, stages,
+                                                      solo_eng, rng):
+        """A step that fails BEFORE consuming the donated buffers must
+        restore them: the retry then continues the same key/tail chain
+        (same semantics as a host-carried retry)."""
+        eng = make_engine(stages, max_batch=1, resident=True,
+                          resident_slots=1)
+        aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
+        sid = eng.create_session(seed=5)
+        out = [eng.feed(sid, aud[:W])]           # window 1 establishes carry
+        real = eng._step_res
+        eng._step_res = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("transient"))
+        with pytest.raises(RuntimeError, match="transient"):
+            eng.feed(sid, aud[W:])               # window 2 fails pre-dispatch
+        assert eng._state_bufs is not None       # carry restored
+        eng._step_res = real
+        out.append(eng.feed(sid, np.zeros((0, CA), np.float32)))  # retry pump
+        out.append(eng.flush(sid))
+        got = np.concatenate(out, axis=0)
+        want = solo_run(solo_eng, seed=5, aud_np=aud)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_failed_step_after_consume_closes_carried_sessions(
+            self, stages, rng):
+        """If the donated buffers WERE consumed when the step failed, the
+        carry is unrecoverable for every slot: sessions with prior
+        windows must close (clients see SessionClosed, never a silently
+        wrong-context continuation); first-window sessions survive."""
+        eng = make_engine(stages, max_batch=2, resident=True,
+                          resident_slots=2)
+        aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
+        a = eng.create_session(seed=1)
+        eng.feed(a, aud[:W])                     # a now carries state
+        b = eng.create_session(seed=2)
+        eng.feed(b, aud[:W - 1], pump=False)     # b not yet windowed
+        real = eng._step_res
+
+        def consume_then_fail(variables, tails_buf, kd_buf, *rest):
+            real(variables, tails_buf, kd_buf, *rest)   # donates the bufs
+            raise RuntimeError("post-dispatch loss")
+
+        eng._step_res = consume_then_fail
+        eng.feed(a, aud[W:], pump=False)
+        eng.feed(b, aud[W - 1:W], pump=False)
+        with pytest.raises(RuntimeError, match="post-dispatch"):
+            eng.pump_all()
+        eng._step_res = real
+        with pytest.raises(SessionClosed):       # a's carry is gone
+            eng.poll(a)
+        assert len(eng._free_slots) == 1         # a's slot returned
+        # b never had device carry: it pumps through and flushes clean
+        out = np.concatenate([eng.feed(b, np.zeros((0, CA), np.float32)),
+                              eng.flush(b)], axis=0)
+        assert out.shape == (W, CM) and np.isfinite(out).all()
+
+
 class TestPumpDegradation:
     def test_persistent_pump_failure_flips_healthz(self, capsys):
         """A permanently failing engine must not burn the pump loop at
