@@ -1,15 +1,21 @@
-"""Flat-shaded z-buffer triangle rasterizer in pure jax.
+"""Smooth-shaded z-buffer triangle rasterizer in pure jax.
 
 Capability of the reference's pyrender offscreen mesh rendering
 (``visualise/rendering.py:96-238``, ``voca/rendering.py:110``) without
-pyrender/OpenGL/ffmpeg: SMPL-X vertices + faces -> shaded frames, feeding
+pyrender/OpenGL/ffmpeg: SMPL-X vertices + faces -> lit frames, feeding
 the same grid/GIF/AVI writers as the skeleton path (``viz/render.py``).
+Shading matches the GL fixed-function look the reference gets from
+pyrender's per-vertex-normal Phong pipeline: area-weighted vertex
+normals, barycentric normal + depth interpolation per pixel, two-sided
+Lambert diffuse + Blinn-Phong specular over an ambient floor.
 
 TPU-first formulation: no sequential per-triangle scatter — the z-buffer
 is a **min-reduction over triangles per pixel**. Pixels are processed in
 row blocks and triangles in chunks under ``lax.scan``, so the whole frame
-is one compiled program of dense (pixels x triangles) edge-function tests
-— MXU/VPU-friendly, static shapes, O(HW·F/chunks) memory.
+is one compiled program of dense (pixels x triangles) edge-function tests.
+Winning-triangle attribute fetches are one-hot matmuls (MXU-friendly; a
+minor-dim gather would serialize on TPU). Static shapes,
+O(HW·F/chunks) memory.
 """
 
 from __future__ import annotations
@@ -19,13 +25,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _shade(verts, faces, light_dir):
-    """Per-face flat shading intensity in [0, 1]."""
+def _vertex_normals(verts, faces):
+    """(V, 3) area-weighted vertex normals (the standard GL smooth-shading
+    normals pyrender derives for SMPL-X meshes). Cross products are
+    proportional to face area, so plain scatter-add area-weights."""
     tri = verts[faces]                                   # (F, 3, 3)
-    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
-    lam = jnp.abs(n @ jnp.asarray(light_dir))            # two-sided lighting
-    return 0.25 + 0.75 * jnp.clip(lam, 0.0, 1.0)
+    fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = (jnp.zeros_like(verts)
+          .at[faces[:, 0]].add(fn)
+          .at[faces[:, 1]].add(fn)
+          .at[faces[:, 2]].add(fn))
+    return vn / jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-8)
 
 
 def rotation_about(axis: str, radians: float) -> np.ndarray:
@@ -113,17 +123,16 @@ def _render_jit(verts, faces, image_size, scale, center, color, background,
     pz = verts[:, 2] - center[2]                        # larger z = closer
     pts = jnp.stack([px, py], axis=-1)                  # (V, 2)
 
-    shade = _shade(verts, faces, light_dir)             # (F,)
+    vn = _vertex_normals(verts, faces)                  # (V, 3) smooth
     faces = _pad_faces(faces, tri_chunk)
-    shade = jnp.concatenate(
-        [shade, jnp.zeros((faces.shape[0] - shade.shape[0],), shade.dtype)])
 
     tri_xy = pts[faces]                                 # (F, 3, 2)
-    tri_z = pz[faces].mean(-1)                          # (F,) flat depth
+    tri_zs = pz[faces]                                  # (F, 3) vertex depth
+    tri_vn = vn[faces]                                  # (F, 3, 3)
     n_chunks = faces.shape[0] // tri_chunk
     tri_xy = tri_xy.reshape(n_chunks, tri_chunk, 3, 2)
-    tri_z = tri_z.reshape(n_chunks, tri_chunk)
-    tri_shade = shade.reshape(n_chunks, tri_chunk)
+    tri_zs = tri_zs.reshape(n_chunks, tri_chunk, 3)
+    tri_vn = tri_vn.reshape(n_chunks, tri_chunk, 3, 3)
 
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5
@@ -134,8 +143,8 @@ def _render_jit(verts, faces, image_size, scale, center, color, background,
         gy = jnp.repeat(yy, w)                                      # (P,)
 
         def tri_pass(carry, inp):
-            zbuf, sbuf = carry
-            txy, tz, tsh = inp                      # (C,3,2) (C,) (C,)
+            zbuf, nbuf = carry
+            txy, tzs, tvn = inp                 # (C,3,2) (C,3) (C,3,3)
             a, b, c = txy[:, 0], txy[:, 1], txy[:, 2]
 
             def edge(p0, p1):
@@ -148,22 +157,45 @@ def _render_jit(verts, faces, image_size, scale, center, color, background,
             e0, e1, e2 = edge(a, b), edge(b, c), edge(c, a)
             inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
                      ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
-            area = jnp.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) -
-                           (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
-            inside = inside & (area[None] > 1e-8)
-            z = jnp.where(inside, tz[None], -jnp.inf)   # (P, C)
+            denom = e0 + e1 + e2                # (P, C) signed 2x area
+            inside = inside & (jnp.abs(denom) > 1e-8)
+            safe = jnp.where(jnp.abs(denom) > 1e-8, denom, 1.0)
+            # barycentric weights: the edge function OPPOSITE each vertex
+            wa, wb, wc = e1 / safe, e2 / safe, e0 / safe
+            # per-pixel interpolated depth (GL-correct occlusion, vs the
+            # old per-face flat depth)
+            z = wa * tzs[None, :, 0] + wb * tzs[None, :, 1] \
+                + wc * tzs[None, :, 2]
+            z = jnp.where(inside, z, -jnp.inf)          # (P, C)
             zc = z.max(-1)
-            sh = tsh[z.argmax(-1)]
+            best = jax.nn.one_hot(z.argmax(-1), z.shape[-1],
+                                  dtype=z.dtype)        # (P, C)
+            # winning triangle's interpolated normal via one-hot matmuls
+            # (minor-dim gathers serialize on TPU; these ride the MXU)
+            n_pix = ((best * wa) @ tvn[:, 0] + (best * wb) @ tvn[:, 1]
+                     + (best * wc) @ tvn[:, 2])         # (P, 3)
             better = zc > zbuf
             return (jnp.where(better, zc, zbuf),
-                    jnp.where(better, sh, sbuf)), None
+                    jnp.where(better[:, None], n_pix, nbuf)), None
 
         zbuf0 = jnp.full((row_block * w,), -jnp.inf)
-        sbuf0 = jnp.zeros((row_block * w,))
-        (zbuf, sbuf), _ = jax.lax.scan(tri_pass, (zbuf0, sbuf0),
-                                       (tri_xy, tri_z, tri_shade))
+        nbuf0 = jnp.zeros((row_block * w, 3))
+        (zbuf, nbuf), _ = jax.lax.scan(tri_pass, (zbuf0, nbuf0),
+                                       (tri_xy, tri_zs, tri_vn))
         covered = jnp.isfinite(zbuf)
-        rgb = jnp.where(covered[:, None], sbuf[:, None] * color[None],
+        # two-sided Blinn-Phong: ambient + Lambert diffuse on the
+        # interpolated unit normal, plus a specular lobe toward the
+        # half-vector (orthographic view direction +z)
+        n = nbuf / jnp.clip(jnp.linalg.norm(nbuf, axis=-1, keepdims=True),
+                            1e-8)
+        l = light_dir / jnp.clip(jnp.linalg.norm(light_dir), 1e-8)
+        hv = l + jnp.asarray([0.0, 0.0, 1.0], l.dtype)
+        hv = hv / jnp.clip(jnp.linalg.norm(hv), 1e-8)
+        lam = jnp.clip(jnp.abs(n @ l), 0.0, 1.0)
+        spec = jnp.clip(jnp.abs(n @ hv), 0.0, 1.0) ** 32.0
+        rgb = (0.25 + 0.75 * lam)[:, None] * color[None] \
+            + 0.25 * spec[:, None]
+        rgb = jnp.where(covered[:, None], jnp.clip(rgb, 0.0, 1.0),
                         background[None])
         return rgb.reshape(row_block, w, 3)
 

@@ -122,6 +122,65 @@ class TestRasterizer:
         # allow edge-pixel disagreement on shared edges
         assert (got_cover == cover).mean() > 0.98
 
+    def test_smooth_shading_continuous_across_shared_edge(self):
+        """Two tent triangles sharing a ridge: their face normals differ
+        by ~53 deg, so FLAT shading steps at the ridge; smooth (vertex-
+        normal interpolated) shading must be near-continuous across it —
+        the pyrender-look upgrade (visualise/rendering.py Phong path)."""
+        verts = np.asarray([[0.0, -0.4, 0.3], [0.0, 0.4, 0.3],     # ridge
+                            [-0.5, 0.0, -0.2], [0.5, 0.0, -0.2]],
+                           np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 3, 1]], np.int32)
+        img = np.asarray(render_mesh(verts, faces, SZ, center=np.zeros(3),
+                                     color=(1, 1, 1), tri_chunk=4,
+                                     row_block=8))
+        mid = SZ // 2
+        left, right = img[mid, mid - 2, 0], img[mid, mid + 1, 0]
+        # flat normals: n_left ~ (-0.38, 0, 0.92), n_right ~ (0.38, 0, .92)
+        # => flat Lambert with light (0.3, 0.4, 0.85) differs by ~0.17;
+        # the interpolated shade must be an order of magnitude closer
+        assert abs(float(left) - float(right)) < 0.05, (left, right)
+
+    def test_interpolated_depth_crossing_occlusion(self):
+        """Two triangles crossing in depth (left half A wins, right half
+        B): per-PIXEL interpolated z must flip the winner mid-image —
+        per-face flat depth picks a single winner everywhere."""
+        big = 0.9
+        a = np.asarray([[-big, -big, -0.5], [big, -big, 0.5],
+                        [0.0, big, 0.0]], np.float32)     # z rises left->right
+        b = np.asarray([[-big, -big, 0.5], [big, -big, -0.5],
+                        [0.0, big, 0.0]], np.float32)     # z falls left->right
+        verts = np.concatenate([a, b])
+        faces = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+        both = np.asarray(render_mesh(verts, faces, SZ, center=np.zeros(3),
+                                      tri_chunk=4, row_block=8))
+        only_a = np.asarray(render_mesh(a, [[0, 1, 2]], SZ,
+                                        center=np.zeros(3), tri_chunk=4,
+                                        row_block=8))
+        only_b = np.asarray(render_mesh(b, [[0, 1, 2]], SZ,
+                                        center=np.zeros(3), tri_chunk=4,
+                                        row_block=8))
+        y = SZ - SZ // 4                         # a low row crossing both
+        xl, xr = SZ // 4, SZ - SZ // 4
+        # left: B is closer (z=+0.5 side); right: A is closer
+        np.testing.assert_allclose(both[y, xl], only_b[y, xl], atol=1e-5)
+        np.testing.assert_allclose(both[y, xr], only_a[y, xr], atol=1e-5)
+        assert not np.allclose(only_a[y, xl], only_b[y, xl])
+
+    def test_vertex_normals_of_octahedron_point_outward(self):
+        from probtalk_tpu.viz.rasterize import _vertex_normals
+        import jax.numpy as jnp
+
+        v = np.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                        [0, 0, 1], [0, 0, -1]], np.float32)
+        f = np.asarray([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                        [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+                       np.int32)
+        vn = np.asarray(_vertex_normals(jnp.asarray(v), jnp.asarray(f)))
+        # a closed convex solid's area-weighted vertex normals point along
+        # the vertex directions
+        np.testing.assert_allclose(vn, v, atol=1e-5)
+
     def test_smplx_fixture_to_video(self, tmp_path, rng):
         from probtalk_tpu.smplx import (
             load_smplx, smplx_forward, write_synthetic_smplx_npz,
