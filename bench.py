@@ -157,14 +157,24 @@ def main():
     device_sync(out)
     assert out.shape == (b, t, 265), out.shape
 
-    iters = 50
+    # median-of-groups timing: the tunnel-attached backend shows rare
+    # transient stalls (10-400 s for one batch, remote-host contention —
+    # see PERFORMANCE.md round-5 serving notes). A single 50-iter mean
+    # lets one stall halve the reported number; the median of five
+    # 10-iter groups (each group barriered by a value fetch) is robust
+    # to them while keeping the barrier overhead ~1 fetch per second.
+    iters, group = 50, 10
+    rates = []
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = full(jax.random.key(i), wav_np)
-    device_sync(out)
+    for gi in range(iters // group):
+        tg = time.perf_counter()
+        for i in range(group):
+            out = full(jax.random.key(gi * group + i), wav_np)
+        device_sync(out)
+        rates.append(b * t * group / (time.perf_counter() - tg))
     dt = time.perf_counter() - t0
-
-    frames_per_sec = b * t * iters / dt
+    rates.sort()
+    frames_per_sec = rates[len(rates) // 2]             # median group rate
     north_star = 1500.0  # 50x real-time at 30 fps
 
     # MFU (VERDICT r4 item 4): total model FLOPs from the compiled HLO's
@@ -184,7 +194,7 @@ def main():
             cost = cost[0]
         flops = float(cost["flops"])
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
-        achieved = flops * iters / dt / 1e12
+        achieved = flops * frames_per_sec / (b * t) / 1e12
         mfu = {
             "model_tflops_per_call": round(flops / 1e12, 4),
             "achieved_tflops": round(achieved, 2),
@@ -204,6 +214,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / north_star, 3),
         "mfu": mfu,
+        # robustness diagnostics: overall mean (what a single stall
+        # would have reported) and the group-rate spread
+        "mean_frames_per_s": round(b * t * iters / dt, 1),
+        "group_rate_min_max": [round(rates[0], 1), round(rates[-1], 1)],
     }))
 
     if "--breakdown" not in sys.argv:
