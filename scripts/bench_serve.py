@@ -19,6 +19,14 @@ Modes:
                          keys stay in device slot buffers; the pump fetches
                          a 4-byte probe per batch instead of every lane's
                          (30, 376) tail (engine.py resident mode)
+  SERVE_BENCH_ASYNC=1    production-shaped concurrency: one drain thread
+                         per lane polls outputs (D2H fetch outside the
+                         engine lock) while the main thread feeds + pumps
+                         — output download of batch N overlaps batch N+1's
+                         audio upload, exactly like the HTTP server's pump
+                         thread + per-client handler threads. The default
+                         lockstep loop serializes the two transfer legs and
+                         understates the engine.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serve.py
 Round-3 numbers recorded in PERFORMANCE.md come from this drive on one
@@ -121,31 +129,59 @@ def main():
     # feed-complete -> frames materialized on host — p50/p99 (VERDICT r4
     # item 7: the SLO quantity, vs the saturation throughput below).
     rt = bool(os.environ.get("SERVE_BENCH_RT"))
+    async_mode = bool(os.environ.get("SERVE_BENCH_ASYNC")) and not rt
     n_iter, frames = (32 if rt else 16), 0
     period = step / 30.0
     lat_ms = []
-    t0 = time.time()
-    for it in range(n_iter):
-        if rt:
-            target = t0 + it * period
-            now = time.time()
-            if now < target:
-                time.sleep(target - now)
-        lo, hi = u(t + it * step), u(t + (it + 1) * step)
-        t_fed = {}
-        for sid in sids:
-            eng.feed(sid, feats[lo:hi], pump=False)
-            t_fed[sid] = time.time()
-        frames += lanes * step
-        eng.pump_all()
-        for sid in sids:                              # materialize outputs
-            out = eng.poll(sid)
-            assert out.shape[0] == step, out.shape
-            lat_ms.append((time.time() - t_fed[sid]) * 1e3)
-    dt = time.time() - t0
+    if async_mode:
+        import threading
+
+        quota = n_iter * step
+        counts = {sid: 0 for sid in sids}
+
+        def drain(sid):
+            while counts[sid] < quota:
+                out = eng.poll(sid, timeout=2.0)      # fetch outside lock
+                counts[sid] += out.shape[0]
+
+        ths = [threading.Thread(target=drain, args=(sid,), daemon=True)
+               for sid in sids]
+        t0 = time.time()
+        for th in ths:
+            th.start()
+        for it in range(n_iter):
+            lo, hi = u(t + it * step), u(t + (it + 1) * step)
+            for sid in sids:
+                eng.feed(sid, feats[lo:hi], pump=False)
+            eng.pump_all()
+        for th in ths:
+            th.join()
+        frames = lanes * quota
+        dt = time.time() - t0
+    else:
+        t0 = time.time()
+        for it in range(n_iter):
+            if rt:
+                target = t0 + it * period
+                now = time.time()
+                if now < target:
+                    time.sleep(target - now)
+            lo, hi = u(t + it * step), u(t + (it + 1) * step)
+            t_fed = {}
+            for sid in sids:
+                eng.feed(sid, feats[lo:hi], pump=False)
+                t_fed[sid] = time.time()
+            frames += lanes * step
+            eng.pump_all()
+            for sid in sids:                          # materialize outputs
+                out = eng.poll(sid)
+                assert out.shape[0] == step, out.shape
+                lat_ms.append((time.time() - t_fed[sid]) * 1e3)
+        dt = time.time() - t0
     mode = ("raw-int16" if raw and int16 else "raw-f32" if raw else "feature")
     result = {
         "mode": mode, "lanes": lanes, "resident": resident,
+        "async_drain": async_mode,
         "stage_dtype": "bf16" if sdt else "f32",
         "emit": "f16" if f16out else "f32",
         "frames_per_s": round(frames / dt, 1),
