@@ -195,7 +195,8 @@ def main(argv=None):
     p.add_argument("--resident_slots", type=int, default=256,
                    help="device slot buffer rows = max concurrent sessions "
                         "in --resident mode (each holds an (overlap, C) "
-                        "tail, ~45 KB at production sizes)")
+                        "context tail + RNG key + the overlap's input "
+                        "audio, ~77 KB at production raw-int16 sizes)")
     p.add_argument("--wav_int16", action="store_true",
                    help="int16 PCM wire (halves the audio upload)")
     p.add_argument("--emit_f16", action="store_true",

@@ -42,14 +42,21 @@ TPU-first design points:
   time, overlapping later batches' compute. ``emit_dtype=jnp.float16``
   additionally halves the output transfer (upcast to f32 on host).
 - **Device-resident lane state** (``resident=True``): per-session carry
-  (the (overlap, C) context tail + PRNG key data) lives in device
-  lane-slot buffers, gather/scatter-updated inside the compiled step
-  (donated, so XLA updates them in place). The pump then fetches ONE
-  4-byte probe per batch as the completion barrier instead of
-  round-tripping every lane's tail through the host (~5.8 MB D2H+H2D
-  per 64-lane batch over the ~25 MB/s tunnel). Sessions hold a slot for
-  their lifetime (``resident_slots`` bounds concurrency); slot recycling
-  is safe because a fresh session's first window masks carried state.
+  (the (overlap, C) context tail + PRNG key data + the overlap's INPUT
+  audio) lives in device lane-slot buffers, gather/scatter-updated
+  inside the compiled step (donated, so XLA updates them in place). The
+  pump then fetches ONE 4-byte probe per batch as the completion
+  barrier instead of round-tripping every lane's tail through the host
+  (~5.8 MB D2H+H2D per 64-lane batch over the tunnel), and
+  continuation windows upload only their new ``step`` units — the
+  window is rebuilt in-program from the device audio tail, so each
+  input sample crosses the link exactly once (another ~2.1 MB per
+  64-lane raw batch; upload is the dominant serving leg). First and
+  continuation windows are therefore separate compiled programs and the
+  pump partitions ready lanes by first-ness (steady state is
+  all-continuation). Sessions hold a slot for their lifetime
+  (``resident_slots`` bounds concurrency); slot recycling is safe
+  because a fresh session's first window reads no carried state.
   Single-chip only — mesh serving keeps the host-carried path (arbitrary
   slot gather/scatter across the data axis would need collectives).
 - **Static shapes everywhere.** Windows are fixed ``window`` frames
@@ -243,21 +250,19 @@ class ServingEngine:
                              "mesh serving keeps host-carried context")
         self.resident_slots = int(resident_slots)
         self._free_slots = list(range(self.resident_slots))
-        self._state_bufs = None          # lazy (tails_buf, kd_buf) on device
+        # lazy device state (tails_buf, kd_buf, aud_tail_buf)
+        self._state_bufs = None
         one = self._build_one(
             vq_model, pred_stage, ref_stage,
             frontend[0] if self.raw_audio else None,
             face[0] if face is not None else None)
         self._step_fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+        ov_units = self._units(self.overlap)
 
-        def step_resident(variables, tails_buf, kd_buf, slots, kd_init,
-                          aud, first, n_valid, speaker):
-            # gather each lane's carried state from its slot; a lane's
-            # FIRST window takes the seed key data from the host instead
-            # (its slot may hold a previous tenant's stale state — never
-            # read: `first` also zeroes the tail inside `one`)
+        def run_and_scatter(variables, bufs, slots, kds, aud, first,
+                            n_valid, speaker):
+            tails_buf, kd_buf, audt_buf = bufs
             tails = tails_buf[slots]
-            kds = jnp.where(first[:, None] > 0, kd_init, kd_buf[slots])
             emit, new_tails, new_kd = jax.vmap(
                 one, in_axes=(None, 0, 0, 0, 0, 0, 0))(
                     variables, kds, aud, tails, first, n_valid, speaker)
@@ -266,14 +271,44 @@ class ServingEngine:
             # row is never read as carried state
             tails_buf = tails_buf.at[slots].set(new_tails)
             kd_buf = kd_buf.at[slots].set(new_kd)
+            # audio tail: the window's last `overlap` worth of input units
+            # stays on device so the NEXT (continuation) window uploads
+            # only its new `step` units — each sample crosses the link
+            # exactly once (upload is the dominant serving leg)
+            audt_buf = audt_buf.at[slots].set(aud[:, -ov_units:])
             # tiny completion probe: the pump fetches this one scalar as
             # the batch barrier (jax.block_until_ready returns at enqueue
             # on the tunnel backend) — bandwidth-free backpressure
             probe = jnp.bitwise_xor(new_kd[:, 0].sum(), new_kd[:, 1].sum())
-            return emit, tails_buf, kd_buf, probe
+            return emit, (tails_buf, kd_buf, audt_buf), probe
+
+        def step_res_first(variables, tails_buf, kd_buf, audt_buf, slots,
+                           kd_init, aud, n_valid, speaker):
+            # FIRST-window lanes: seed key data comes from the host and
+            # the full window's audio is uploaded; no carried state is
+            # read (the slot may hold a previous tenant's stale state —
+            # first=1 also zeroes the context tail inside `one`)
+            first = jnp.ones((aud.shape[0],), jnp.float32)
+            return run_and_scatter(
+                variables, (tails_buf, kd_buf, audt_buf), slots, kd_init,
+                aud, first, n_valid, speaker)
+
+        def step_res_cont(variables, tails_buf, kd_buf, audt_buf, slots,
+                          aud_new, n_valid, speaker):
+            # continuation windows: key, context tail AND the overlap's
+            # audio all live on device — the upload is only the new
+            # `step` units; the window is rebuilt in-program
+            aud = jnp.concatenate([audt_buf[slots], aud_new], axis=1)
+            first = jnp.zeros((aud.shape[0],), jnp.float32)
+            return run_and_scatter(
+                variables, (tails_buf, kd_buf, audt_buf), slots,
+                kd_buf[slots], aud, first, n_valid, speaker)
 
         # donate the state buffers: XLA aliases them in place per call
-        self._step_res = jax.jit(step_resident, donate_argnums=(1, 2))
+        self._step_res_first = jax.jit(step_res_first,
+                                       donate_argnums=(1, 2, 3))
+        self._step_res_cont = jax.jit(step_res_cont,
+                                      donate_argnums=(1, 2, 3))
         self._sessions: Dict[str, _Session] = {}
         self._ids = itertools.count()
         self._lock = threading.Lock()
@@ -582,18 +617,38 @@ class ServingEngine:
             ready = [sid for sid, s in self._sessions.items() if self._ready(s)]
             if not ready:
                 return
-            for i in range(0, len(ready), self.max_batch):
-                self._run_group(ready[i:i + self.max_batch])
+            if self.resident:
+                # first and continuation windows compile to different
+                # programs (full-window vs step-only upload): partition.
+                # Steady state is all-continuation; first-groups only
+                # appear at session starts.
+                firsts = [sid for sid in ready
+                          if self._sessions[sid].windows_done == 0]
+                conts = [sid for sid in ready
+                         if self._sessions[sid].windows_done > 0]
+                for i in range(0, len(firsts), self.max_batch):
+                    self._run_group(firsts[i:i + self.max_batch])
+                for i in range(0, len(conts), self.max_batch):
+                    self._run_group(conts[i:i + self.max_batch], cont=True)
+            else:
+                for i in range(0, len(ready), self.max_batch):
+                    self._run_group(ready[i:i + self.max_batch])
 
-    def _run_group(self, sids: List[str]):
+    def _run_group(self, sids: List[str], cont: bool = False):
+        """Run one bucketed window batch. ``cont=True`` (resident mode
+        only) marks an all-continuation group: every lane has prior
+        windows, so the upload is only the new ``step`` units — the
+        overlap's audio is read from the device audio-tail slots."""
         w_units = self._units(self.window)
+        ov_units = self._units(self.overlap)
         ov, c = self.overlap, self.mot_dim
+        w_up = w_units - ov_units if cont else w_units
         n = len(sids)
         bucket = _bucket(n, self.max_batch, self._granule)
         if self.raw_audio:
-            aud = np.zeros((bucket, w_units), self.wav_dtype)
+            aud = np.zeros((bucket, w_up), self.wav_dtype)
         else:
-            aud = np.zeros((bucket, w_units, self.aud_dim), np.float32)
+            aud = np.zeros((bucket, w_up, self.aud_dim), np.float32)
         tails = np.zeros((bucket, ov, c), np.float32)
         first = np.ones((bucket,), np.float32)
         n_valid = np.full((bucket,), self.window, np.int32)
@@ -604,7 +659,8 @@ class ServingEngine:
         for i, sid in enumerate(sids):
             s = self._sessions[sid]
             rel = self._window_start(s.windows_done) - s.trimmed
-            win = s.buffered()[rel:rel + w_units]
+            win = s.buffered()[rel + (ov_units if cont else 0):
+                               rel + w_units]
             aud[i] = win[:, 0] if self.raw_audio else win
             if s.windows_done > 0:
                 if not self.resident:    # resident tails never leave device
@@ -626,17 +682,31 @@ class ServingEngine:
         if self.resident:
             if self._state_bufs is None:
                 # +1 row: the scratch slot pad rows write (never read live)
+                if self.raw_audio:
+                    audt0 = jnp.zeros((self.resident_slots + 1, ov_units),
+                                      jnp.int16 if self.wav_dtype == np.int16
+                                      else jnp.float32)
+                else:
+                    audt0 = jnp.zeros(
+                        (self.resident_slots + 1, ov_units, self.aud_dim),
+                        jnp.float32)
                 self._state_bufs = (
                     jnp.zeros((self.resident_slots + 1, ov, c), jnp.float32),
-                    jnp.zeros((self.resident_slots + 1, 2), jnp.uint32))
-            tails_buf, kd_buf = self._state_bufs
+                    jnp.zeros((self.resident_slots + 1, 2), jnp.uint32),
+                    audt0)
+            bufs = self._state_bufs
             self._state_bufs = None      # donated: dead the moment we call
             try:
-                refined_dev, tails_buf, kd_buf, probe = self._step_res(
-                    self._variables, tails_buf, kd_buf, jnp.asarray(slots),
-                    jnp.asarray(np.stack(kds)), jnp.asarray(aud),
-                    jnp.asarray(first), jnp.asarray(n_valid),
-                    jnp.asarray(spk))
+                if cont:
+                    refined_dev, bufs, probe = self._step_res_cont(
+                        self._variables, *bufs, jnp.asarray(slots),
+                        jnp.asarray(aud), jnp.asarray(n_valid),
+                        jnp.asarray(spk))
+                else:
+                    refined_dev, bufs, probe = self._step_res_first(
+                        self._variables, *bufs, jnp.asarray(slots),
+                        jnp.asarray(np.stack(kds)), jnp.asarray(aud),
+                        jnp.asarray(n_valid), jnp.asarray(spk))
             except Exception:
                 # a failed step must not silently zero carried state on
                 # the next pump. If the donated inputs were never
@@ -647,8 +717,8 @@ class ServingEngine:
                 # windows so clients see an error, never a wrong-context
                 # continuation (first-window sessions carry nothing and
                 # retry safely).
-                if not tails_buf.is_deleted():
-                    self._state_bufs = (tails_buf, kd_buf)
+                if not bufs[0].is_deleted():
+                    self._state_bufs = bufs
                 else:
                     for sid, s in [(k, v) for k, v in self._sessions.items()
                                    if v.windows_done > 0]:
@@ -657,7 +727,7 @@ class ServingEngine:
                         self._release_slot(s)
                         s.new_frames.set()
                 raise
-            self._state_bufs = (tails_buf, kd_buf)
+            self._state_bufs = bufs
             int(probe)                   # 4-byte fetch = completion barrier
         else:
             args = (jnp.asarray(np.stack(kds)), jnp.asarray(aud),

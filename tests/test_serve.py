@@ -594,6 +594,26 @@ class TestResidentMode:
         assert eng.stats["expired"] == 1
         eng.flush(eng.create_session(seed=1))
 
+    def test_cont_upload_is_step_only(self, stages, rng):
+        """Continuation windows must upload only the new ``step`` units —
+        the overlap's audio is read back from the device slot buffer
+        (each input sample crosses the host<->device link once)."""
+        eng = make_engine(stages, max_batch=1, resident=True,
+                          resident_slots=1)
+        seen = []
+        real = eng._step_res_cont
+
+        def spy(variables, *args):
+            seen.append(args[4].shape)           # aud_new
+            return real(variables, *args)
+
+        eng._step_res_cont = spy
+        sid = eng.create_session(seed=0)
+        aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
+        eng.feed(sid, aud)                       # window 1 full, window 2 cont
+        eng.flush(sid)
+        assert seen and all(s[1] == STEP for s in seen), seen
+
     def test_resident_rejects_mesh(self, stages):
         from probtalk_tpu.parallel.mesh import make_mesh
 
@@ -611,13 +631,13 @@ class TestResidentMode:
         aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
         sid = eng.create_session(seed=5)
         out = [eng.feed(sid, aud[:W])]           # window 1 establishes carry
-        real = eng._step_res
-        eng._step_res = lambda *a, **k: (_ for _ in ()).throw(
+        real = eng._step_res_cont                # window 2 is a cont window
+        eng._step_res_cont = lambda *a, **k: (_ for _ in ()).throw(
             RuntimeError("transient"))
         with pytest.raises(RuntimeError, match="transient"):
             eng.feed(sid, aud[W:])               # window 2 fails pre-dispatch
         assert eng._state_bufs is not None       # carry restored
-        eng._step_res = real
+        eng._step_res_cont = real
         out.append(eng.feed(sid, np.zeros((0, CA), np.float32)))  # retry pump
         out.append(eng.flush(sid))
         got = np.concatenate(out, axis=0)
@@ -637,23 +657,22 @@ class TestResidentMode:
         eng.feed(a, aud[:W])                     # a now carries state
         b = eng.create_session(seed=2)
         eng.feed(b, aud[:W - 1], pump=False)     # b not yet windowed
-        real = eng._step_res
+        real = eng._step_res_cont                # a's next window is cont
 
-        def consume_then_fail(variables, tails_buf, kd_buf, *rest):
-            real(variables, tails_buf, kd_buf, *rest)   # donates the bufs
+        def consume_then_fail(variables, *args):
+            real(variables, *args)               # donates the bufs
             raise RuntimeError("post-dispatch loss")
 
-        eng._step_res = consume_then_fail
-        eng.feed(a, aud[W:], pump=False)
-        eng.feed(b, aud[W - 1:W], pump=False)
+        eng._step_res_cont = consume_then_fail
+        eng.feed(a, aud[W:], pump=False)         # b stays below one window
         with pytest.raises(RuntimeError, match="post-dispatch"):
             eng.pump_all()
-        eng._step_res = real
+        eng._step_res_cont = real
         with pytest.raises(SessionClosed):       # a's carry is gone
             eng.poll(a)
         assert len(eng._free_slots) == 1         # a's slot returned
         # b never had device carry: it pumps through and flushes clean
-        out = np.concatenate([eng.feed(b, np.zeros((0, CA), np.float32)),
+        out = np.concatenate([eng.feed(b, aud[W - 1:W]),
                               eng.flush(b)], axis=0)
         assert out.shape == (W, CM) and np.isfinite(out).all()
 
