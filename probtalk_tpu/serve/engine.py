@@ -51,9 +51,11 @@ TPU-first design points:
   continuation windows upload only their new ``step`` units — the
   window is rebuilt in-program from the device audio tail, so each
   input sample crosses the link exactly once (another ~2.1 MB per
-  64-lane raw batch; upload is the dominant serving leg). First and
-  continuation windows are therefore separate compiled programs and the
-  pump partitions ready lanes by first-ness (steady state is
+  64-lane raw batch; upload is the dominant serving leg) — and emit
+  only ``step`` frames (the overlap's motion, already delivered by the
+  previous window, is trimmed ON DEVICE before the D2H transfer). First
+  and continuation windows are therefore separate compiled programs and
+  the pump partitions ready lanes by first-ness (steady state is
   all-continuation). Sessions hold a slot for their lifetime
   (``resident_slots`` bounds concurrency); slot recycling is safe
   because a fresh session's first window reads no carried state.
@@ -300,9 +302,13 @@ class ServingEngine:
             # `step` units; the window is rebuilt in-program
             aud = jnp.concatenate([audt_buf[slots], aud_new], axis=1)
             first = jnp.zeros((aud.shape[0],), jnp.float32)
-            return run_and_scatter(
+            emit, bufs, probe = run_and_scatter(
                 variables, (tails_buf, kd_buf, audt_buf), slots,
                 kd_buf[slots], aud, first, n_valid, speaker)
+            # a continuation window's first `overlap` frames are never
+            # delivered (the previous window already emitted them): trim
+            # ON DEVICE so the D2H output transfer is `step` frames too
+            return emit[:, self.overlap:], bufs, probe
 
         # donate the state buffers: XLA aliases them in place per call
         self._step_res_first = jax.jit(step_res_first,
@@ -763,7 +769,8 @@ class ServingEngine:
                 s.key_data = kd_np[i]
             s.windows_done += 1
             s.emitted += self.window - skip
-            s.pending.append((rec, i, skip))
+            # cont records were already overlap-trimmed on device
+            s.pending.append((rec, i, 0 if cont else skip))
             # drop input units no later window re-reads: keeps a long-lived
             # stream's buffer at O(window), not O(stream length)
             drop = self._window_start(s.windows_done) - s.trimmed

@@ -594,25 +594,28 @@ class TestResidentMode:
         assert eng.stats["expired"] == 1
         eng.flush(eng.create_session(seed=1))
 
-    def test_cont_upload_is_step_only(self, stages, rng):
-        """Continuation windows must upload only the new ``step`` units —
-        the overlap's audio is read back from the device slot buffer
-        (each input sample crosses the host<->device link once)."""
+    def test_cont_transfers_are_step_only(self, stages, rng):
+        """Continuation windows must upload only the new ``step`` units
+        (the overlap's audio is read back from the device slot buffer)
+        AND emit only ``step`` frames (overlap trimmed on device): both
+        transfer legs carry each unit exactly once."""
         eng = make_engine(stages, max_batch=1, resident=True,
                           resident_slots=1)
         seen = []
         real = eng._step_res_cont
 
         def spy(variables, *args):
-            seen.append(args[4].shape)           # aud_new
-            return real(variables, *args)
+            out = real(variables, *args)
+            seen.append((args[4].shape, out[0].shape))   # aud_new, emit
+            return out
 
         eng._step_res_cont = spy
         sid = eng.create_session(seed=0)
         aud = rng.normal(size=(W + STEP, CA)).astype(np.float32)
         eng.feed(sid, aud)                       # window 1 full, window 2 cont
         eng.flush(sid)
-        assert seen and all(s[1] == STEP for s in seen), seen
+        assert seen, seen
+        assert all(up[1] == STEP and em[1] == STEP for up, em in seen), seen
 
     def test_resident_rejects_mesh(self, stages):
         from probtalk_tpu.parallel.mesh import make_mesh
